@@ -1,0 +1,68 @@
+"""Single-process, obviously-correct BM25 oracle (SURVEY.md §5 plan #2).
+
+Shares the tokenizer and the scoring constants with the engine (both
+imported from the same modules), scores EXHAUSTIVELY with float64, and
+returns (doc_id, score) sorted by (score desc, doc_id asc). The Spark
+engine must be rank-identical with scores equal within 1e-9.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+from data_prep_opensearch_spark.operators.bm25 import bm25_tf_term, idf
+
+
+class OracleIndex:
+    def __init__(self, docs: dict[int, str], tokenizer: str = "simple") -> None:
+        self.tokenizer = tokenizer
+        tok = TOKENIZERS[tokenizer]
+        self.tf: dict[int, Counter] = {d: Counter(tok(c or "")) for d, c in docs.items()}
+        self.doclen = {d: sum(c.values()) for d, c in self.tf.items()}
+        self.n_docs = len(docs)
+        self.avgdl = (sum(self.doclen.values()) / self.n_docs) if self.n_docs else 0.0
+        self.df: Counter = Counter()
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        for d, counts in self.tf.items():
+            for term, tf in counts.items():
+                self.df[term] += 1
+                self.postings.setdefault(term, []).append((d, tf))
+
+    def query(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = sorted(set(TOKENIZERS[self.tokenizer](query)))
+        scores: dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            w = idf(self.n_docs, self.df[t])
+            for d, tf in plist:
+                scores[d] = scores.get(d, 0.0) + w * bm25_tf_term(
+                    float(tf), float(self.doclen[d]), self.avgdl
+                )
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
+
+
+def reference_query_set() -> list[dict]:
+    """The fixed query set (FIXTURES.md §F2): needles, conjunctions, a hot
+    stopword-like term (WAND pruning path), and absent terms."""
+    qs = []
+    qid = 1
+    for needle in ["needle0", "needle7", "needle31", "needle63"]:
+        qs.append({"qid": qid, "query": needle, "k": 10}); qid += 1
+    for q in ["needle0 import", "fn3 sym7 return", "sym1 sym2 sym4 fn9",
+              "def needle13", "class self sym10"]:
+        qs.append({"qid": qid, "query": q, "k": 10}); qid += 1
+    qs.append({"qid": qid, "query": "return", "k": 10}); qid += 1       # hot term
+    qs.append({"qid": qid, "query": "import def", "k": 100}); qid += 1  # big k
+    qs.append({"qid": qid, "query": "needle5", "k": 1}); qid += 1
+    qs.append({"qid": qid, "query": "zzz_absent_term", "k": 10}); qid += 1
+    qs.append({"qid": qid, "query": "zzz_absent needle2", "k": 10}); qid += 1
+    return qs
+
+
+def score_close(a: float, b: float, tol: float = 1e-9) -> bool:
+    return math.isclose(a, b, rel_tol=0.0, abs_tol=tol)

@@ -1,0 +1,63 @@
+"""Spark engine vs single-process oracle: rank-identical top-k, scores
+within 1e-9 (SURVEY.md §5 plan #2), for BOTH scorers, on the fixed
+reference query set; plus the per-row sha256 invariant and the
+doclen/df reconciliation invariants (§5 plan #3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prep_opensearch_spark.operators.bm25 import query_topk
+from data_prep_opensearch_spark.oracle import reference_query_set
+
+
+@pytest.mark.parametrize("scorer", ["wand", "dense"])
+def test_topk_parity(spark, built_index, oracle_index, scorer):
+    d, _ = built_index
+    for q in reference_query_set():
+        expected = oracle_index.query(q["query"], q["k"])
+        got = [
+            (r["doc_id"], r["score"])
+            for r in query_topk(spark, d, q["query"], q["k"], scorer=scorer).collect()
+        ]
+        assert len(got) == len(expected), (q, got, expected)
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gd == ed, (q, got, expected)
+            assert abs(gs - es) <= 1e-9, (q, gd, gs, es)
+
+
+def test_sha256_invariant(spark, built_index):
+    """doc_stats.sha256 must equal sha2(content,256) of the source rows."""
+    from data_prep_opensearch_spark.sources.corpus import corpus_df
+
+    d, _ = built_index
+    stats = spark.read.parquet(os.path.join(d, "doc_stats"))
+    src = corpus_df(spark, 300).withColumn("src_sha", F.sha2(F.col("content"), 256))
+    joined = stats.join(src, ["repo", "path", "commit"], "inner")
+    assert joined.count() == 300
+    assert joined.filter(F.col("sha256") != F.col("src_sha")).count() == 0
+
+
+def test_doclen_and_df_reconcile(spark, built_index, oracle_index):
+    """Σ tf per doc == doclen; Σ df over segments == Σ oracle df."""
+    d, _ = built_index
+    seg = spark.read.parquet(os.path.join(d, "segments"))
+    total_df = seg.agg(F.sum("df")).collect()[0][0]
+    assert total_df == sum(oracle_index.df.values())
+    total_cf = seg.agg(F.sum("cf")).collect()[0][0]
+    stats = spark.read.parquet(os.path.join(d, "doc_stats"))
+    assert total_cf == stats.agg(F.sum("doclen")).collect()[0][0]
+
+
+def test_avgdl_matches_oracle(built_index, oracle_index):
+    _, meta = built_index
+    assert meta["n_docs"] == oracle_index.n_docs
+    assert abs(meta["avgdl"] - oracle_index.avgdl) < 1e-9
+
+
+def test_empty_query(spark, built_index):
+    d, _ = built_index
+    assert query_topk(spark, d, "!!! ...", 10).count() == 0
