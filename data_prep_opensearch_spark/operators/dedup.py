@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five families (each with a queries() entry + oracle in plans/queries.py):
+  - exact:        hash-groupBy on content fingerprint
+  - minhash_lsh:  word-shingle MinHash signatures + banded LSH join
+  - simhash:      64-bit sign-aggregated token hashes, hamming buckets
+  - ngram_jaccard: exact Jaccard over word n-gram shingles (pair join)
+  - embedding near-dup: cosine over embedding vectors (see similarity.py)
+
+Portability note: hash primitives are md5/sha2 HEX STRINGS (identical in
+Spark and DuckDB), and MinHash takes the LEXICOGRAPHIC min of md5 hex
+digests — so every step is reproducible in the SQL oracle. xxhash64 would
+be faster but engine-private; at 100 TB swap HASH_FN once, the shape of
+every plan is unchanged.
+
+Scale notes: MinHash/LSH is the linear-shuffle path (shingle explode →
+per-(doc, seed) min agg → band join) — no O(n²) pair scan; the exact
+ngram-Jaccard operator joins only pairs sharing >=1 shingle (inverted
+shingle index), which is the standard candidate-pruned exact computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from data_prep_opensearch_spark.functions.text import tokens_col
+
+N_MINHASH = 16           # signature length
+LSH_BANDS = 4            # bands of 4 rows each
+SHINGLE_N = 3            # word-shingle width
+
+
+def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by sha2(content): keeper = min key, plus
+    group size. First-occurrence-keeping mirrors the reference's
+    dedup_case_insensitive keep-first rule (stages/downloader/fingerprints.py:86-98)."""
+    return (
+        df.withColumn("content_fp", F.sha2(F.col(text), 256))
+        .groupBy("content_fp")
+        .agg(
+            F.min(key).alias("keeper"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as '_'-joined strings (JVM-side: tokens ->
+    transform over a sequence of start offsets)."""
+    toks = tokens_col(text)
+    # for i in 0..size-n: join(toks[i:i+n], '_')
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("_", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws("_", toks)))
+
+
+def shingle_rows(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """(key, shingle) distinct rows — the inverted shingle index."""
+    return (
+        df.select(F.col(key), F.explode(word_shingles(F.col(text))).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs sharing >=1 shingle.
+
+    |A ∩ B| from the shingle self-join; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Join is shingle-partitioned (no cross product); a hot shingle's
+    fan-out is the classic skew point — at scale, drop top-frequency
+    shingles first (stopword-shingle suppression), same deferral idea as
+    the reference's oversized-doc isolation (api/mysql_store.py:841-865).
+    """
+    sh = shingle_rows(df, text, key)
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .groupBy(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(key).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(key).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", key: str = "doc_id", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """MinHash signature rows (key, seed, minhash) via the portable
+    lexicographic-min-of-md5 construction:
+        h_s(shingle) = md5(concat(s, ':', shingle));  sig_s = min over shingles.
+    One explode + one groupBy — linear, shuffle = (docs × seeds) rows.
+    """
+    sh = shingle_rows(df, text, key)
+    seeds = df.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        .groupBy(key, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ALL rows of >=1 band.
+
+    band_hash = md5(concat of the band's minhashes in seed order); pairs
+    sharing a (band, band_hash) bucket are candidates (deduped across
+    bands). Standard banding estimate: P(candidate) = 1-(1-j^r)^b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text, key, n_hashes).withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    band_hashes = (
+        sig.groupBy(key, "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed"), F.col("minhash")))))).alias("band_hash"))
+    )
+    a = band_hashes.alias("a")
+    b = band_hashes.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens (Charikar'02): for each of 64 bit
+    positions, sum +1/-1 weighted by tf across token hashes; bit = sign.
+
+    Portable construction: bit b of token t = hex digit test on md5(t).
+    Computed with one explode + 64 conditional sums (columnar, no UDF).
+    Result: (key, simhash as 16-hex-char string) + hamming-bucket prefix.
+    """
+    toks = (
+        df.select(F.col(key), F.explode(tokens_col(F.col(text))).alias("tok"))
+        .groupBy(key, "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    # md5 hex has 32 nibbles = 128 bits; use the first 64: bit i of nibble
+    # n = (nibble >> (i%4)) & 1 where n = i//4
+    aggs = []
+    for i in range(64):
+        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, i % 4).bitwiseAND(F.lit(1))
+        signed = (bit * 2 - 1) * F.col("tf")
+        aggs.append(F.sum(signed).alias(f"b{i}"))
+    sums = toks.groupBy(key).agg(*aggs)
+    # assemble hex string from 16 nibbles (4 bits each, bit i in nibble i//4)
+    nibbles = []
+    for n in range(16):
+        val = F.lit(0)
+        for j in range(4):
+            i = n * 4 + j
+            val = val + F.when(F.col(f"b{i}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        nibbles.append(F.lower(F.conv(val.cast("string"), 10, 16)))
+    return sums.select(
+        F.col(key),
+        F.concat(*nibbles).alias("simhash"),
+    ).withColumn("bucket", F.substring("simhash", 1, 4))
+
+
+def first_occurrence_dedup(
+    df: DataFrame, col: str, order_col: str
+) -> DataFrame:
+    """Case-insensitive first-occurrence-preserving dedup (reference
+    dedup_case_insensitive, stages/downloader/fingerprints.py:86-98):
+    keep the row with the smallest order_col per lower(col)."""
+    w = Window.partitionBy(F.lower(F.col(col))).orderBy(F.col(order_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

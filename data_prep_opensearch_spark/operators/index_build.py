@@ -162,7 +162,10 @@ def encode_segments(postings: DataFrame, gen: int, n_partitions: int | None = No
         n_partitions = postings.sparkSession.sparkContext.defaultParallelism * 2
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
@@ -336,7 +339,8 @@ def index_fingerprint(spark: SparkSession, index_dir: str) -> int:
     out_schema = T.StructType([T.StructField("fp", T.LongType(), False)])
 
     def fp_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if pdf.empty:
             yield pd.DataFrame({"fp": pd.Series(dtype="int64")})
             return

@@ -89,7 +89,10 @@ def _merge_generation_df(to_merge, doclens, next_gen: int):
     joined = to_merge.join(F.broadcast(doclens), "shard")
 
     def merge_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         rows = []

@@ -1,0 +1,941 @@
+"""The engine's query catalog: every operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) exposed as a (Spark plan, ANSI-SQL
+oracle) pair over the driver's testdata tables.
+
+Parity discipline:
+  - identical output column NAMES in both engines (the driver sorts
+    columns by name and value-hashes);
+  - floats produced by non-associative aggregation are DECIMAL-summed
+    then cast to double (exact, order-independent), or rounded where the
+    math is order-fixed;
+  - hashes are md5/sha2 HEX STRINGS (identical in Spark and DuckDB);
+  - timestamps/dates are rendered as strings with explicit formats.
+
+Each query's docstring names the SURVEY.md §2 operators it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TOKEN_PATTERN = "([a-z0-9_]+)"
+BM25_QUERY_TERMS = ["key", "merge", "sort", "batch"]
+BM25_K = 10
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    covers: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, covers: list[str] | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql, covers or [])
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 1)
+
+
+# corpus with planted duplicates (shared by the dedup family):
+# every doc_id % 50 == 0 is cloned at doc_id + 100000
+_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0"
+)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(clones)
+
+
+# ---------------------------------------------------------------------------
+# Fulltext core
+# ---------------------------------------------------------------------------
+
+@register(
+    "ft_doc_stats",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS doclen,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    covers=["F9 content fingerprint", "F15 token counting", "doc-stats table (§1.3)"],
+)
+def ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("doclen"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+
+
+@register(
+    "ft_term_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    )
+    SELECT term,
+           count(DISTINCT doc_id) AS df,
+           count(*) AS cf
+    FROM tok GROUP BY term
+    """,
+    covers=["A8 term-level agg (dictionary build)", "§2.11 UDTF-shaped explode"],
+)
+def ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")
+    )
+
+
+def _bm25_sql(relation: str, terms: list[str], k: int) -> str:
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM ({relation})
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT unnest([{term_list}]) AS term)
+    SELECT tf.doc_id AS doc_id,
+           round(sum(
+             ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+           ), 4) AS score
+    FROM tf
+    JOIN q ON tf.term = q.term
+    JOIN dft ON tf.term = dft.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int) -> DataFrame:
+    """Declarative BM25: the same math as the segment engine, expressed as
+    a pure Catalyst plan (explode → agg → broadcast dictionary join).
+    Useful both as a correctness oracle twin and as the 'no index yet'
+    ad-hoc scoring path."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    terms = sorted(set(terms))
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg(1.0 * F.col("dl")).alias("avgdl"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qdf = docs.sparkSession.createDataFrame([(t,) for t in terms], ["term"])
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+@register(
+    "ft_bm25_topk",
+    _bm25_sql("SELECT doc_id, text FROM documents", BM25_QUERY_TERMS, BM25_K),
+    covers=["O7 top-k BM25 (declarative path)", "X5 broadcast dict join", "A8 partial/final agg"],
+)
+def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_dataframe(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        BM25_QUERY_TERMS, BM25_K,
+    )
+
+
+@register(
+    "ft_bm25_engine_topk",
+    _bm25_sql("SELECT doc_id, text FROM documents", BM25_QUERY_TERMS, BM25_K),
+    covers=["O7 block-max WAND engine", "M3 segment index", "§3.3 query lifecycle"],
+)
+def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL engine under the oracle: build the segment index from the
+    documents table, answer with block-max WAND, map internal docIDs back.
+    Same oracle SQL as ft_bm25_topk — the engine is rank-identical."""
+    import hashlib
+    import os
+
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+    from data_prep_opensearch_spark.operators.index_build import build_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    index_dir = f"/tmp/dposs_idx_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        src = load(spark, sf_dir, "documents").select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+    topk = query_topk(spark, index_dir, " ".join(BM25_QUERY_TERMS), BM25_K, scorer="wand")
+    stats = spark.read.parquet(os.path.join(index_dir, "doc_stats")).select(
+        F.col("doc_id").alias("engine_doc_id"), F.col("path")
+    )
+    return (
+        topk.join(stats, topk["doc_id"] == stats["engine_doc_id"])
+        .select(
+            F.col("path").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "ft_exact_dedup",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT sha256(text) AS content_fp,
+           min(doc_id) AS keeper,
+           count(*) AS n_dups
+    FROM corpus GROUP BY sha256(text)
+    """,
+    covers=["exact dedup (hash-groupBy)", "D7 version dedup"],
+)
+def ft_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(_corpus(spark, sf_dir))
+    # exact_dedup uses sha2 = same hex as DuckDB sha256
+    return out.select(F.col("content_fp"), F.col("keeper"), F.col("n_dups"))
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(0, len(t) - 2),
+                                     i -> t[i+1] || '_' || t[i+2] || '_' || t[i+3])
+                 ELSE [array_to_string(t, '_')] END) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9_]+)', 1) AS t
+              FROM corpus)
+      )
+"""
+
+
+@register(
+    "ft_minhash_signatures",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    seeds AS (SELECT unnest(range(0, 16)) AS seed)
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           min(md5(concat(seed, ':', shingle))) AS minhash
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, seed
+    """,
+    covers=["MinHash dedup signatures", "X8 linear-shuffle near-dup path"],
+)
+def ft_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_corpus(spark, sf_dir))
+
+
+@register(
+    "ft_lsh_pairs",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    seeds AS (SELECT unnest(range(0, 16)) AS seed),
+    sig AS (
+      SELECT doc_id, CAST(seed AS INT) AS seed,
+             min(md5(concat(seed, ':', shingle))) AS minhash
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             md5(array_to_string(list_sort(list(concat(seed, ':', minhash))), ',')) AS band_hash
+      FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+    covers=["MinHash+LSH banded candidate join"],
+)
+def ft_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_corpus(spark, sf_dir))
+
+
+@register(
+    "ft_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(1.0 * n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE 1.0 * n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+    """,
+    covers=["n-gram Jaccard near-dup (candidate-pruned exact)"],
+)
+def ft_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    """Generate the 64-bit simhash as portable SQL (hex-nibble bit tests)."""
+    bit_sums = []
+    for i in range(64):
+        nib = f"(strpos('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} >> {i % 4}) & 1)"
+        bit_sums.append(f"sum(({bit} * 2 - 1) * tf) AS b{i}")
+    nibbles = []
+    for n in range(16):
+        val = " + ".join(
+            f"(CASE WHEN b{n * 4 + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(4)
+        )
+        nibbles.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    concat = " || ".join(nibbles)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, md5(term) AS h FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+        FROM corpus
+      ) GROUP BY doc_id, term
+    ),
+    sums AS (SELECT doc_id, {", ".join(bit_sums)} FROM tf GROUP BY doc_id)
+    SELECT doc_id, {concat} AS simhash,
+           substr({concat}, 1, 4) AS bucket
+    FROM sums
+    """
+
+
+@register(
+    "ft_simhash",
+    _simhash_sql(),
+    covers=["SimHash near-dup fingerprint (Charikar)"],
+)
+def ft_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.dedup import simhash64
+
+    return simhash64(_corpus(spark, sf_dir))
+
+
+@register(
+    "ft_token_counts",
+    r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+)', 1)) AS bpe_tokens
+    FROM documents
+    """,
+    covers=["token counting (whitespace + BPE-ish)", "F15"],
+)
+def ft_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.functions.analysis import token_count_cols
+
+    d = load(spark, sf_dir, "documents")
+    cols = token_count_cols(F.col("text"))
+    return d.select("doc_id", cols["ws_tokens"].alias("ws_tokens"),
+                    cols["bpe_tokens"].alias("bpe_tokens"))
+
+
+@register(
+    "ft_quality",
+    """
+    SELECT doc_id,
+           round(
+             0.25 * least(1.0, n_tok / 64.0)
+             + 0.25 * (CASE WHEN n_chars > 0 THEN 1.0 * alpha / n_chars ELSE 0.0 END)
+             + 0.25 * (1.0 - (CASE WHEN n_chars > 0 THEN 1.0 * punct / n_chars ELSE 0.0 END))
+             + 0.25 * least(1.0, (CASE WHEN n_tok > 0 THEN 1.0 * n_dist / n_tok ELSE 0.0 END) * 2.0)
+           , 6) AS quality
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS n_tok,
+             len(list_distinct(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1))) AS n_dist,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+      FROM documents
+    )
+    """,
+    covers=["quality scoring (F17 graded)", "P7 eligibility heuristics"],
+)
+def ft_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.functions.analysis import quality_score_col
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_col(F.col("text")).alias("quality"))
+
+
+def _langid_sql() -> str:
+    from data_prep_opensearch_spark.functions.analysis import LANG_STOPWORDS
+
+    score_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"round(1.0 * len(list_filter(toks, x -> list_contains([{lst}], x)))"
+            f" / greatest(len(toks), 1), 6) AS score_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {m} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '([a-z0-9_]+)', 1) AS toks
+      FROM documents
+    ),
+    s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM t)
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+           {pred} AS pred_lang
+    FROM s
+    """
+
+
+@register("ft_langid", _langid_sql(), covers=["language-ID heuristic", "P15 route selector analogue"])
+def ft_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.functions.analysis import langid_scores
+
+    d = load(spark, sf_dir, "documents")
+    out = langid_scores(d, "text")
+    return out.select("doc_id", "lang", "score_de", "score_en", "score_es",
+                      "score_fr", "pred_lang")
+
+
+@register(
+    "ft_fingerprints",
+    r"""
+    SELECT doc_id,
+           sha256(text) AS content_fp,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_fp
+    FROM documents
+    """,
+    covers=["F9/F12 fingerprints", "X14 idempotent identity"],
+)
+def ft_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.functions.analysis import fingerprint_cols
+
+    d = load(spark, sf_dir, "documents")
+    cols = fingerprint_cols(F.col("text"))
+    return d.select("doc_id", cols["content_fp"].alias("content_fp"),
+                    cols["norm_fp"].alias("norm_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+    FROM embeddings
+    """,
+    covers=["embedding column math (JVM-side, no UDF)"],
+)
+def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.similarity import l2_norm
+
+    e = load(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select("vec_id", F.round(l2_norm(vec), 6).alias("l2"))
+
+
+_EMB_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+_EMB_NORM_A = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_EMB_NORM_Q = "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@register(
+    "emb_knn",
+    f"""
+    SELECT a.vec_id AS vec_id,
+           round({_EMB_DOT} / ({_EMB_NORM_A} * {_EMB_NORM_Q}), 6) AS cos_sim
+    FROM embeddings a
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    covers=["brute-force cosine top-k (exact ANN baseline)", "O7 top-k shape"],
+)
+def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(a, qv), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "emb_centroids",
+    """
+    SELECT label, dim, round(avg(v), 6) AS centroid
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    covers=["per-label centroids (posexplode agg)", "IVF coarse-quantizer building block"],
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode(F.col("embedding")).alias("dim", "v"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid")
+    )
+
+
+@register(
+    "emb_near_dup",
+    None,  # LSH bucketing uses engine-side hyperplane literals; rows-only check
+    covers=["embedding-cosine near-dup via LSH buckets (scale path)"],
+)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    clones = e.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    both = e.unionByName(clones).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return embedding_near_dup_pairs(both, threshold=0.999)
+
+
+@register(
+    "emb_ann_lsh",
+    None,  # approximate by construction; rows-only check
+    covers=["LSH-bucketed ANN top-k (probing)"],
+)
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.similarity import ann_lsh_topk
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann_lsh_topk(e, qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Relational / prep-semantics
+# ---------------------------------------------------------------------------
+
+@register(
+    "rel_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=["A1/A4 conditional aggregates", "X2/X3 pruning+pushdown"],
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double").alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_top_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 10
+    """,
+    covers=["J1 broadcast dimension joins", "O-series top-k"],
+)
+def rel_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rel_events_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+    covers=["A5 per-day group-bys", "S12-style projections"],
+)
+def rel_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "rel_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    covers=["O3 argmax-by-recency", "O5 highest-version-wins"],
+)
+def rel_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "rel_eligibility",
+    """
+    SELECT doc_id,
+           CASE WHEN n_chars > 500 THEN 0 ELSE 1 END AS eligible,
+           CASE WHEN n_chars > 500 THEN 'text_too_large' ELSE '' END AS reason,
+           CASE WHEN n_chars > 400 AND n_chars <= 500 THEN 1 ELSE 0 END AS deferred
+    FROM documents
+    """,
+    covers=["P6 deferral predicate", "P7 eligibility when-chain (skew router)"],
+)
+def rel_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.prep import eligibility_flags
+
+    return eligibility_flags(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "rel_change_classification",
+    """
+    WITH prev AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    ),
+    cur AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+    )
+    SELECT COALESCE(prev.user_id, cur.user_id) AS user_id,
+           CASE WHEN prev.user_id IS NULL THEN 'new'
+                WHEN cur.user_id IS NULL THEN 'removed'
+                WHEN prev.n = cur.n AND prev.s = cur.s THEN 'unchanged'
+                ELSE 'updated' END AS change_kind
+    FROM prev FULL OUTER JOIN cur ON prev.user_id = cur.user_id
+    """,
+    covers=["I1 CDC change classification", "J2 prev⋈cur snapshot join", "J5 anti-join"],
+)
+def rel_change_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.prep import change_classification
+
+    e = load(spark, sf_dir, "events")
+
+    def snap(parity: int) -> DataFrame:
+        return (
+            e.filter(F.col("event_id") % 2 == parity)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+            )
+            .withColumn("fp", F.concat_ws("|", F.col("n"), F.col("s")))
+        )
+
+    return change_classification(snap(0), snap(1), "user_id", "fp")
+
+
+@register(
+    "rel_carry_forward",
+    """
+    WITH prev AS (
+      SELECT doc_id, upper(substr(text, 1, 20)) AS summary
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    cur AS (
+      SELECT doc_id,
+             CASE WHEN source = 'src1' THEN 'S:' || substr(text, 1, 10) ELSE NULL END AS summary
+      FROM documents
+    )
+    SELECT cur.doc_id AS doc_id,
+           COALESCE(cur.summary, prev.summary) AS summary
+    FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
+    """,
+    covers=["I2 carry-forward coalesce", "J3/J4 prev-state joins"],
+)
+def rel_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.prep import carry_forward
+
+    d = load(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.upper(F.substring("text", 1, 20)).alias("summary")
+    )
+    cur = d.select(
+        "doc_id",
+        F.when(F.col("source") == "src1",
+               F.concat(F.lit("S:"), F.substring("text", 1, 10))).alias("summary"),
+    )
+    return carry_forward(cur, prev, "doc_id", ["summary"])
+
+
+@register(
+    "rel_removed_users",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0
+    AND user_id NOT IN (SELECT user_id FROM events WHERE event_id % 2 = 1)
+    """,
+    covers=["J5 removed-from-source anti-join", "§2.7 set difference"],
+)
+def rel_removed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    prev = e.filter(F.col("event_id") % 2 == 0).select("user_id").distinct()
+    cur = e.filter(F.col("event_id") % 2 == 1).select("user_id").distinct()
+    return prev.join(cur, "user_id", "left_anti")
+
+
+@register(
+    "rel_dedup_case_insensitive",
+    """
+    SELECT p_partkey, p_brand FROM (
+      SELECT p_partkey, p_brand,
+             row_number() OVER (PARTITION BY lower(p_brand) ORDER BY p_partkey) AS rn
+      FROM part
+    ) WHERE rn = 1
+    """,
+    covers=["D1/D2 casefold first-occurrence dedup"],
+)
+def rel_dedup_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.dedup import first_occurrence_dedup
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return first_occurrence_dedup(p, "p_brand", "p_partkey")
+
+
+@register(
+    "rel_skip_unchanged",
+    """
+    SELECT w.doc_id AS doc_id FROM
+      (SELECT doc_id, sha256(text) AS fp FROM documents) w
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT doc_id, sha256(text) AS fp FROM documents
+                     WHERE doc_id % 4 = 0) d
+      WHERE d.doc_id = w.doc_id AND d.fp = w.fp
+    )
+    """,
+    covers=["P12-P14 fingerprint-gated skip (anti-join pruning)", "X1 resume primitive"],
+)
+def rel_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.prep import skip_unchanged
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("fp")
+    )
+    done = d.filter(F.col("doc_id") % 4 == 0)
+    return skip_unchanged(d, done, "doc_id", "fp").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins (batch semantics checked by the oracle; the streaming
+# path itself is tested in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "str_windowed_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    covers=["tumbling-window rollup (streaming twin)", "§2.10 windowed agg"],
+)
+def str_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "60 minutes")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+@register(
+    "str_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    covers=["gap sessionization (stateful-op twin)", "window functions"],
+)
+def str_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.streaming.events import sessionize_batch
+
+    out = sessionize_batch(load(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id", "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (synthetic payloads; rows-only check)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_features",
+    None,
+    covers=["multimodal binary columns + Arrow feature extraction (stubbed decode)"],
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, 64)
+    out = extract_features(media)
+    return out.select(
+        "media_id", "kind", "n_bytes", "payload_sha",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
