@@ -81,6 +81,56 @@ def load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+class BM25Engine:
+    """Warm query engine: segment + doclen DataFrames loaded once (and
+    optionally cached in executor memory) so per-query cost is the two
+    small jobs only — the dictionary agg and the scoring pass. This is
+    the 'warm engine' the latency baseline measures (BASELINE.md §2)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True) -> None:
+        self.spark = spark
+        self.meta = load_meta(index_dir)
+        self.seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        self.doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+        if cache:
+            self.seg = self.seg.cache()
+            self.doclens = self.doclens.cache()
+            self.seg.count()
+            self.doclens.count()
+
+    def topk(self, query: str, k: int = 10, scorer: str = "auto") -> DataFrame:
+        spark = self.spark
+        terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
+        if not terms:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
+
+        seg = self.seg.filter(F.col("term").isin(terms))
+        df_rows = seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        if not df_rows:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        idf_map = {r["term"]: idf(n_docs, int(r["df"])) for r in df_rows}
+
+        if scorer == "auto":
+            # WAND's per-posting Python walk only pays off when pruning can
+            # actually skip work: multiple terms. Single-term queries score
+            # every posting either way -> take the vectorized dense path.
+            scorer = "dense" if len(terms) == 1 else "wand"
+        scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
+
+        seg = seg.join(F.broadcast(self.doclens), "shard")
+
+        def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for _, grp in pdf.groupby("shard"):
+                    yield scorer_fn(grp, idf_map, avgdl, k)
+
+        # group whole shards per task: a shard covers <= shard_width docIDs,
+        # so scorer memory is bounded regardless of corpus size
+        local = seg.repartition(F.col("shard")).mapInPandas(score_partition, TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def query_topk(
     spark: SparkSession,
     index_dir: str,
@@ -88,35 +138,8 @@ def query_topk(
     k: int = 10,
     scorer: str = "wand",
 ) -> DataFrame:
-    """Top-k BM25 over a segment index built by ``build_index``."""
-    meta = load_meta(index_dir)
-    terms = sorted(set(TOKENIZERS[meta["tokenizer"]](query)))
-    if not terms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-
-    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
-        F.col("term").isin(terms)
-    )
-    df_rows = seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    if not df_rows:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    idf_map = {r["term"]: idf(n_docs, int(r["df"])) for r in df_rows}
-
-    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
-    seg = seg.join(F.broadcast(doclens), "shard")
-
-    scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
-
-    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, grp in pdf.groupby("shard"):
-                yield scorer_fn(grp, idf_map, avgdl, k)
-
-    # group whole shards per task: a shard covers <= shard_width docIDs, so
-    # scorer memory is bounded regardless of corpus size
-    local = seg.repartition(F.col("shard")).mapInPandas(score_partition, TOPK_SCHEMA)
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    """One-shot top-k BM25 (cold engine) — see BM25Engine for warm reuse."""
+    return BM25Engine(spark, index_dir, cache=False).topk(query, k, scorer)
 
 
 # ---------------------------------------------------------------------------

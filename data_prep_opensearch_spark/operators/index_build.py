@@ -44,11 +44,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
-from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
-from data_prep_opensearch_spark.operators.postings import (
-    encode_posting_list,
-    vbyte_encode,
-)
+from data_prep_opensearch_spark.operators.postings import vbyte_encode
 
 SHARD_WIDTH = 1 << 20  # docID capacity per shard; ids are dense so actual
                        # shard population just has to stay below this
@@ -114,34 +110,41 @@ def tokenize_to_postings(docs: DataFrame, tokenizer: str = "simple") -> DataFram
     Arrow-vectorized: one pandas batch in, one exploded batch out — the
     UDTF-shaped flatMap of SURVEY.md §2.11.
     """
-    tok = TOKENIZERS[tokenizer]
-
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import Counter
+        from data_prep_opensearch_spark.functions.tokenize import (
+            SIMPLE_TOKEN_RE,
+            TOKENIZERS,
+        )
 
+        tok = TOKENIZERS[tokenizer]
         for pdf in batches:
-            terms: list[str] = []
-            dids: list[int] = []
-            shards: list[int] = []
-            tfs: list[int] = []
-            dls: list[int] = []
-            for did, shard, content in zip(
-                pdf["doc_id"], pdf["shard"], pdf["content"]
-            ):
-                counts = Counter(tok(content or ""))
-                dl = sum(counts.values())
-                for term, tf in counts.items():
-                    terms.append(term)
-                    dids.append(did)
-                    shards.append(shard)
-                    tfs.append(tf)
-                    dls.append(dl)
+            if pdf.empty:
+                continue
+            if tokenizer == "simple":
+                # vectorized path: pandas C-level findall + groupby
+                token_lists = pdf["content"].str.lower().str.findall(SIMPLE_TOKEN_RE)
+            else:
+                token_lists = pdf["content"].map(lambda c: tok(c or ""))
+            lens = token_lists.str.len().to_numpy(dtype=np.int64)
+            flat = pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens),
+                "shard": np.repeat(pdf["shard"].to_numpy(dtype=np.int32), lens),
+                "dl": np.repeat(lens, lens).astype(np.int32),
+                "term": np.concatenate([np.array(t, dtype=object) for t in token_lists])
+                if lens.sum() else np.array([], dtype=object),
+            })
+            out = (
+                flat.groupby(["doc_id", "shard", "dl", "term"], sort=False)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
             yield pd.DataFrame({
-                "term": terms,
-                "doc_id": pd.Series(dids, dtype="int64"),
-                "shard": pd.Series(shards, dtype="int32"),
-                "tf": pd.Series(tfs, dtype="int32"),
-                "dl": pd.Series(dls, dtype="int32"),
+                "term": out["term"],
+                "doc_id": out["doc_id"].astype("int64"),
+                "shard": out["shard"].astype("int32"),
+                "tf": out["tf"].astype("int32"),
+                "dl": out["dl"].astype("int32"),
             })
 
     return docs.select("doc_id", "shard", "content").mapInPandas(
@@ -149,15 +152,320 @@ def tokenize_to_postings(docs: DataFrame, tokenizer: str = "simple") -> DataFram
     )
 
 
-def encode_segments(postings: DataFrame, gen: int, n_partitions: int | None = None) -> DataFrame:
-    """Hash-repartition by (term, shard) and encode each group's sorted run.
+class _FlatPostings:
+    """Flat per-(doc, term) posting columns for one batch (all numpy)."""
 
-    Each (term, shard) group is <= SHARD_WIDTH postings by construction, so
-    task memory is bounded however hot the term is. Encoding happens inside
-    mapInPandas with a numpy groupby (sort + reduceat boundaries), not one
-    applyInPandas call per group — the per-group overhead matters when the
-    vocabulary is large.
+    __slots__ = ("codes", "uniques", "doc_ids", "shards", "tfs", "dls",
+                 "doc_lens", "doc_n_terms")
+
+    def __init__(self, codes, uniques, doc_ids, shards, tfs, dls,
+                 doc_lens, doc_n_terms):
+        self.codes = codes          # int per posting (index into uniques)
+        self.uniques = uniques      # unique term strings
+        self.doc_ids = doc_ids      # int64 per posting
+        self.shards = shards        # int64 per posting
+        self.tfs = tfs              # int64 per posting
+        self.dls = dls              # int64 per posting
+        self.doc_lens = doc_lens    # int64 per INPUT doc
+        self.doc_n_terms = doc_n_terms  # int64 per INPUT doc
+
+
+def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
+    """Content rows -> flat posting columns.
+
+    The 'simple' path is PURE ARROW C++ (utf8_lower + split_pattern_regex
+    + dictionary_encode): no per-token Python objects exist at any point.
+    The earlier object-array pipeline allocated millions of PyStrings per
+    batch, which serialized across concurrent workers on the allocator —
+    the single biggest build-scaling bottleneck measured. Token counting
+    is then one integer lexsort + run-length pass.
     """
+    ndocs = len(pdf)
+    if tokenizer == "simple":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(pdf["content"], type=pa.string())
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9_]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")          # splits emit '' at edges
+        flat = flat.filter(mask)
+        row_idx = parent.filter(mask).to_numpy().astype(np.int64)
+        if len(flat) == 0:
+            z = np.zeros(0, np.int64)
+            return _FlatPostings(z, np.array([], dtype=object), z, z, z, z,
+                                 np.zeros(ndocs, np.int64), np.zeros(ndocs, np.int64))
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        lens = np.bincount(row_idx, minlength=ndocs).astype(np.int64)
+    else:
+        from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+
+        tok = TOKENIZERS[tokenizer]
+        token_lists = pdf["content"].map(lambda c: tok(c or ""))
+        lens = token_lists.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            z = np.zeros(0, np.int64)
+            return _FlatPostings(z, np.array([], dtype=object), z, z, z, z,
+                                 lens, np.zeros(ndocs, np.int64))
+        all_tokens = np.concatenate([np.array(t, dtype=object) for t in token_lists])
+        codes, uniques = pd.factorize(pd.Series(all_tokens), sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+        row_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    order = np.lexsort((codes, row_idx))
+    c, r = codes[order], row_idx[order]
+    change = np.concatenate(([True], (c[1:] != c[:-1]) | (r[1:] != r[:-1])))
+    starts = np.flatnonzero(change)
+    tf = np.diff(np.concatenate((starts, [c.shape[0]])))
+    u_r = r[starts]
+    doc_ids_in = pdf["doc_id"].to_numpy(dtype=np.int64)
+    shards_in = pdf["shard"].to_numpy(dtype=np.int64)
+    doc_n_terms = np.zeros(ndocs, dtype=np.int64)
+    np.add.at(doc_n_terms, u_r, 1)
+    return _FlatPostings(
+        codes=c[starts],
+        uniques=np.asarray(uniques, dtype=object),
+        doc_ids=doc_ids_in[u_r],
+        shards=shards_in[u_r],
+        tfs=tf,
+        dls=lens[u_r],
+        doc_lens=lens,
+        doc_n_terms=doc_n_terms,
+    )
+
+
+def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> pd.DataFrame:
+    """Whole-partition vectorized posting encode: one lexsort, ONE VByte
+    pass per stream, per-group byte slicing — no per-group numpy dispatch.
+    Returns SEGMENT_SCHEMA rows (with_blocks) or RUN_SCHEMA rows (runs also
+    carry dl_bytes so the reducer can rebuild block_min_dl)."""
+    from data_prep_opensearch_spark.operators.postings import (
+        BLOCK,
+        vbyte_encode_with_lengths,
+    )
+
+    if isinstance(terms, tuple):  # pre-factorized (codes, uniques)
+        codes, uniq_terms = terms
+    else:
+        codes, uniq_terms = pd.factorize(pd.Series(terms), sort=False)
+    uniq_terms = np.asarray(uniq_terms, dtype=object)
+    order = np.lexsort((docs, shards, codes))
+    codes, shards, docs = codes[order], shards[order], docs[order]
+    tfs, dls = tfs[order], dls[order]
+    n = docs.shape[0]
+
+    change = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+    starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+    glen = ends - starts
+
+    deltas = np.empty_like(docs)
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[starts] = docs[starts] - shards[starts] * SHARD_WIDTH
+    if (deltas < 0).any():
+        raise ValueError("doc_ids not sorted within a (term, shard) group")
+    doc_buf, doc_nb = vbyte_encode_with_lengths(deltas.astype(np.uint64))
+    tf_buf, tf_nb = vbyte_encode_with_lengths(tfs.astype(np.uint64))
+    dbo = np.concatenate(([0], np.cumsum(np.add.reduceat(doc_nb, starts))))
+    tbo = np.concatenate(([0], np.cumsum(np.add.reduceat(tf_nb, starts))))
+    cf = np.add.reduceat(tfs, starts)
+    g_terms = uniq_terms.take(codes[starts])
+    g_shards = shards[starts].astype(np.int32)
+
+    if not with_blocks:
+        dl_buf, dl_nb = vbyte_encode_with_lengths(dls.astype(np.uint64))
+        lbo = np.concatenate(([0], np.cumsum(np.add.reduceat(dl_nb, starts))))
+        # columnar construction: no per-row tuple/from-records inference
+        return pd.DataFrame({
+            "term": g_terms,
+            "shard": g_shards,
+            "df": glen,
+            "cf": cf,
+            "doc_bytes": [doc_buf[a:b] for a, b in zip(dbo[:-1], dbo[1:])],
+            "tf_bytes": [tf_buf[a:b] for a, b in zip(tbo[:-1], tbo[1:])],
+            "dl_bytes": [dl_buf[a:b] for a, b in zip(lbo[:-1], lbo[1:])],
+        })
+
+    # block metadata for ALL groups in one reduceat sweep: blocks are
+    # contiguous BLOCK-sized ranges inside each group, so the global list
+    # of block starts is strictly increasing
+    nblocks = (glen + BLOCK - 1) // BLOCK
+    rep_gstart = np.repeat(starts, nblocks)
+    rep_gend = np.repeat(ends, nblocks)
+    boff = np.concatenate(([0], np.cumsum(nblocks)))
+    within = np.arange(int(nblocks.sum()), dtype=np.int64) - np.repeat(boff[:-1], nblocks)
+    bstart = rep_gstart + BLOCK * within
+    bend = np.minimum(bstart + BLOCK, rep_gend)
+    bfirst = docs[bstart]
+    blast = docs[bend - 1]
+    bmax_tf = np.maximum.reduceat(tfs, bstart).astype(np.int32)
+    bmin_dl = np.minimum.reduceat(dls, bstart).astype(np.int32)
+    bpairs = list(zip(boff[:-1], boff[1:]))
+    return pd.DataFrame({
+        "term": g_terms,
+        "shard": g_shards,
+        "gen": np.full(starts.shape[0], gen, dtype=np.int32),
+        "df": glen,
+        "cf": cf,
+        "doc_bytes": [doc_buf[a:b] for a, b in zip(dbo[:-1], dbo[1:])],
+        "tf_bytes": [tf_buf[a:b] for a, b in zip(tbo[:-1], tbo[1:])],
+        "block_first": [bfirst[a:b] for a, b in bpairs],
+        "block_last": [blast[a:b] for a, b in bpairs],
+        "block_max_tf": [bmax_tf[a:b] for a, b in bpairs],
+        "block_min_dl": [bmin_dl[a:b] for a, b in bpairs],
+    })
+
+
+RUN_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("cf", T.LongType(), False),
+    T.StructField("doc_bytes", T.BinaryType(), False),
+    T.StructField("tf_bytes", T.BinaryType(), False),
+    T.StructField("dl_bytes", T.BinaryType(), False),
+])
+
+
+def map_posting_runs(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
+    """MAP-SIDE COMBINE (the partial aggregation of SURVEY.md §4 X6, done
+    explicitly because posting encode isn't a builtin agg): each input
+    partition tokenizes its docs and emits already-encoded sorted posting
+    RUNS per (term, shard). The shuffle then moves ~vocab×partitions small
+    binary rows instead of one row per posting — at 240k docs that is
+    ~0.6M rows instead of 20M, which is what keeps the (term, shard)
+    shuffle from dominating the build at scale."""
+    def run_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        fl = _flatten_tokens(pdf, tokenizer)
+        if fl.doc_ids.shape[0] == 0:
+            return
+        yield _encode_flat((fl.codes, fl.uniques), fl.doc_ids, fl.shards,
+                           fl.tfs, fl.dls, gen=0, with_blocks=False)
+
+    return docs.select("doc_id", "shard", "content").mapInPandas(run_map, RUN_SCHEMA)
+
+
+def segments_from_runs(runs: DataFrame, gen: int, n_partitions: int | None = None) -> DataFrame:
+    """REDUCE: hash-repartition runs by (term, shard); per partition,
+    decode ALL runs with three concatenated VByte passes, rebuild the flat
+    posting columns, and re-encode with block-max metadata. Runs of one
+    group come from disjoint doc partitions, so the lexsort inside
+    _encode_flat is a k-way merge, never a re-sort of overlapping data."""
+    if n_partitions is None:
+        n_partitions = runs.sparkSession.sparkContext.defaultParallelism * 2
+
+    def reduce_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_prep_opensearch_spark.operators.postings import vbyte_decode
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        dfs = pdf["df"].to_numpy(dtype=np.int64)
+        # one decode per stream over the concatenated buffers
+        deltas = vbyte_decode(b"".join(pdf["doc_bytes"])).astype(np.int64)
+        tfs = vbyte_decode(b"".join(pdf["tf_bytes"])).astype(np.int64)
+        dls = vbyte_decode(b"".join(pdf["dl_bytes"])).astype(np.int64)
+        # re-anchor docIDs: groupwise cumsum over the flat delta array
+        ends = np.cumsum(dfs)
+        starts = ends - dfs
+        total = np.cumsum(deltas)
+        before = np.where(starts > 0, total[starts - 1], 0)
+        shards_row = pdf["shard"].to_numpy(dtype=np.int64)
+        base_rep = np.repeat(shards_row * SHARD_WIDTH, dfs)
+        docs = total - np.repeat(before, dfs) + base_rep
+        terms = np.repeat(pdf["term"].to_numpy(), dfs)
+        shards = np.repeat(shards_row, dfs)
+        yield _encode_flat(terms, docs, shards, tfs, dls, gen=gen, with_blocks=True)
+
+    return runs.repartition(n_partitions, "term", "shard").mapInPandas(
+        reduce_runs, SEGMENT_SCHEMA
+    )
+
+
+def build_segments(docs: DataFrame, tokenizer: str = "simple", gen: int = 0,
+                   n_partitions: int | None = None) -> DataFrame:
+    """tokenize -> map-side partial runs -> shuffle -> merged segments."""
+    return segments_from_runs(map_posting_runs(docs, tokenizer), gen, n_partitions)
+
+
+STAGED_SCHEMA = T.StructType([
+    T.StructField("kind", T.IntegerType(), False),  # 0 = posting run, 1 = doc stats
+    T.StructField("term", T.StringType(), True),
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), True),
+    T.StructField("cf", T.LongType(), True),
+    T.StructField("doc_bytes", T.BinaryType(), True),
+    T.StructField("tf_bytes", T.BinaryType(), True),
+    T.StructField("dl_bytes", T.BinaryType(), True),
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("repo", T.StringType(), True),
+    T.StructField("path", T.StringType(), True),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("sha256", T.StringType(), True),
+    T.StructField("doclen", T.LongType(), True),
+    T.StructField("n_terms", T.LongType(), True),
+])
+
+
+def map_runs_and_stats(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
+    """ONE tokenize pass per partition emitting a tagged union of
+    (kind=0) encoded posting runs and (kind=1) per-doc stats rows.
+
+    Tokenization is the dominant map-side cost; staging both outputs from
+    a single pass halves it versus separate runs/stats jobs. The staged
+    parquet is also the natural mid-build checkpoint artifact: external
+    sort runs on disk, exactly the LSM shape of the reference's per-page
+    snapshots (stages/downloader/service.py:60-94)."""
+    def run_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        fl = _flatten_tokens(pdf, tokenizer)
+        cols = [f.name for f in STAGED_SCHEMA.fields]
+        if fl.doc_ids.shape[0]:
+            runs = _encode_flat((fl.codes, fl.uniques), fl.doc_ids, fl.shards,
+                                fl.tfs, fl.dls, gen=0, with_blocks=False)
+            runs.insert(0, "kind", 0)
+            for c in ("doc_id", "repo", "path", "commit", "lang", "sha256",
+                      "doclen", "n_terms"):
+                runs[c] = None
+            yield runs[cols]
+        stats = pdf[["doc_id", "shard", "repo", "path", "commit", "lang", "sha256"]].copy()
+        stats.insert(0, "kind", 1)
+        stats["shard"] = stats["shard"].astype("int32")
+        stats["doclen"] = fl.doc_lens
+        stats["n_terms"] = fl.doc_n_terms
+        for c in ("term", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"):
+            stats[c] = None
+        yield stats[cols]
+
+    return docs.select(
+        "doc_id", "shard", "repo", "path", "commit", "lang", "sha256", "content"
+    ).mapInPandas(run_map, STAGED_SCHEMA)
+
+
+def encode_segments(postings: DataFrame, gen: int, n_partitions: int | None = None) -> DataFrame:
+    """Encode explicit (term, doc_id, shard, tf, dl) rows into segments —
+    the un-combined path, kept for tests and ad-hoc use; build_index uses
+    build_segments (map-side combine) instead."""
     if n_partitions is None:
         n_partitions = postings.sparkSession.sparkContext.defaultParallelism * 2
 
@@ -168,33 +476,51 @@ def encode_segments(postings: DataFrame, gen: int, n_partitions: int | None = No
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
-        pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        shards = pdf["shard"].to_numpy()
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        # group boundaries where (term, shard) changes
-        change = np.flatnonzero(
-            (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        yield _encode_flat(
+            pdf["term"].to_numpy(),
+            pdf["doc_id"].to_numpy(dtype=np.int64),
+            pdf["shard"].to_numpy(dtype=np.int64),
+            pdf["tf"].to_numpy(dtype=np.int64),
+            pdf["dl"].to_numpy(dtype=np.int64),
+            gen=gen,
+            with_blocks=True,
         )
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [terms.shape[0]]))
-        rows = []
-        for s, e in zip(starts, ends):
-            base = int(shards[s]) * SHARD_WIDTH
-            doc_b, tf_b, blk = encode_posting_list(docs[s:e], tfs[s:e], dls[s:e], base=base)
-            rows.append((
-                terms[s], int(shards[s]), gen, int(e - s), int(tfs[s:e].sum()),
-                doc_b, tf_b,
-                blk.first.tolist(), blk.last.tolist(),
-                blk.max_tf.tolist(), blk.min_dl.tolist(),
-            ))
-        yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
     return postings.repartition(n_partitions, "term", "shard").mapInPandas(
         encode, SEGMENT_SCHEMA
     )
+
+
+def doc_stats_map(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
+    """Per-doc stats WITHOUT any shuffle or join: doclen and distinct-term
+    count are partition-local facts (a doc lives in exactly one partition),
+    so they ride along with the metadata columns in one Arrow pass."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("doclen", T.LongType(), False),
+        T.StructField("n_terms", T.LongType(), False),
+    ])
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fl = _flatten_tokens(pdf, tokenizer)
+            out = pdf[["doc_id", "shard", "repo", "path", "commit", "lang", "sha256"]].copy()
+            out["doclen"] = fl.doc_lens
+            out["n_terms"] = fl.doc_n_terms
+            out["shard"] = out["shard"].astype("int32")
+            yield out
+
+    return docs.select(
+        "doc_id", "shard", "repo", "path", "commit", "lang", "sha256", "content"
+    ).mapInPandas(stats, out_schema)
 
 
 def encode_doclens(doc_stats: DataFrame) -> DataFrame:
@@ -215,14 +541,15 @@ def encode_doclens(doc_stats: DataFrame) -> DataFrame:
     return doc_stats.groupBy("shard").applyInPandas(enc, DOCLEN_SCHEMA)
 
 
-def _group_fp(docs: DataFrame) -> int:
-    """Order-independent input fingerprint: sum of row key-hashes (the
-    idempotent-export identity pattern, api/control_plane.py:698-704)."""
+def _group_fp(docs: DataFrame) -> tuple[int, int]:
+    """(order-independent input fingerprint, row count) in ONE job — the
+    idempotent-export identity pattern, api/control_plane.py:698-704."""
     row = docs.select(
         F.expr("bit_xor(xxhash64(repo, path, commit, content))").alias("fp"),
         F.count("*").alias("n"),
     ).collect()[0]
-    return int(row["fp"] or 0) ^ int(row["n"])
+    n = int(row["n"])
+    return (int(row["fp"] or 0) ^ n, n)
 
 
 def build_index(
@@ -251,7 +578,10 @@ def build_index(
     # content fingerprint invariant (input_hint): sha2(content, 256)
     docs = docs.withColumn("sha256", F.sha2(F.col("content"), 256))
     docs = docs.withColumn("group_id", F.pmod(F.col("shard"), F.lit(n_groups)).cast("int"))
-    docs.cache()
+    # deliberately NOT cached: the docID window's shuffle files already
+    # persist across this session's jobs (Spark reuses the ShuffleDependency),
+    # and feeding python workers from the columnar block cache measured
+    # SLOWER than re-reading shuffle files — with worse parallelism
 
     done_groups: set[int] = set()
     if resume and os.path.exists(lineage_dir):
@@ -268,35 +598,67 @@ def build_index(
     if stop_after_groups is not None:
         todo = todo[:stop_after_groups]
 
+    # AQE partition coalescing optimizes JVM-relational stages but merges
+    # the docID-window output into few, UNEVEN partitions — and for the
+    # python-heavy tokenize stage that means stragglers and idle workers.
+    # Disable it for the build only (restored after).
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+
     for g in todo:
         t0 = time.monotonic()
         gdocs = docs.filter(F.col("group_id") == g)
-        fp = _group_fp(gdocs)
-        postings = tokenize_to_postings(gdocs, tokenizer)
-        postings.cache()
-        seg = encode_segments(postings, gen=0)
-        seg.write.mode("append").parquet(seg_dir)
-        # left join from the docs side so zero-token docs keep a stats row
-        # (dense per-shard ranks require every doc present in the sidecar)
-        dlens = postings.groupBy("doc_id").agg(F.max("dl").alias("doclen"))
-        doc_stats = (
-            gdocs.select("doc_id", "shard", "repo", "path", "commit", "lang", "sha256")
-            .join(dlens, "doc_id", "left")
-            .fillna({"doclen": 0})
-        )
-        doc_stats.write.mode("append").parquet(stats_dir)
-        encode_doclens(doc_stats).write.mode("append").parquet(dl_dir)
-        n_docs = gdocs.count()
-        n_postings = postings.count()
-        postings.unpersist()
+        # ONE tokenize pass stages posting runs + doc stats together
+        # (map-side combine: the (term, shard) shuffle then moves ~vocab ×
+        # partitions small binary rows, not one row per posting — measured
+        # 20M rows -> 0.6M rows at 240k docs). partitionBy("kind") splits
+        # the two row kinds into separate parquet dirs in the SAME job, so
+        # doc_stats needs no second write: its partition is renamed into
+        # place (an atomic-publish move, pipeline/io.py:28-33 pattern).
+        runs_dir = os.path.join(index_dir, "staged", f"group={g}")
+        map_runs_and_stats(gdocs, tokenizer).write.partitionBy("kind").mode(
+            "overwrite"
+        ).parquet(runs_dir)
+        run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
+        runs = spark.read.parquet(os.path.join(runs_dir, "kind=0")).select(*run_cols)
+        segments_from_runs(runs, gen=0).write.mode("append").parquet(seg_dir)
+        os.makedirs(stats_dir, exist_ok=True)
+        stats_target = os.path.join(stats_dir, f"group={g}")
+        if os.path.exists(stats_target):  # re-run of an interrupted group
+            import shutil
+
+            shutil.rmtree(stats_target)
+        os.rename(os.path.join(runs_dir, "kind=1"), stats_target)
+        g_stats = spark.read.parquet(os.path.join(stats_dir, f"group={g}"))
+        encode_doclens(g_stats).write.mode("append").parquet(dl_dir)
+        # group identity + counters from the staged stats (one tiny column
+        # scan) — sha256 is the content identity, so this is the same
+        # order-independent corpus fingerprint WITHOUT a second full pass
+        # over the content (idempotent-export identity pattern,
+        # api/control_plane.py:698-704)
+        agg_row = g_stats.select(
+            F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
+            F.count("*").alias("n"),
+            F.sum("n_terms").alias("s"),
+        ).collect()[0]
+        n_docs = int(agg_row["n"])
+        fp = int(agg_row["fp"] or 0) ^ n_docs
+        n_postings = int(agg_row["s"] or 0)
         wall = int((time.monotonic() - t0) * 1000)
         lineage = spark.createDataFrame(
             [("postings", g, 0, n_docs, n_postings, fp, wall, "complete")],
             LINEAGE_SCHEMA,
         )
         lineage.write.mode("append").parquet(lineage_dir)
+        # staging runs served their purpose once the group's lineage row is
+        # committed; a re-run of an incomplete group overwrites them anyway
+        import shutil
 
-    docs.unpersist()
+        shutil.rmtree(runs_dir, ignore_errors=True)
+
+    spark.conf.set(coalesce_key, prev_coalesce)
+
     if stop_after_groups is not None and len(todo) < n_groups - len(done_groups):
         return {"status": "interrupted", "groups_done": sorted(done_groups | set(todo))}
 
@@ -320,6 +682,33 @@ def build_index(
         json.dump(meta, f, indent=2)
     os.replace(tmp, os.path.join(index_dir, "meta.json"))
     return meta
+
+
+def sort_segments(spark: SparkSession, index_dir: str, n_files: int | None = None) -> None:
+    """Publish pass: rewrite segments range-partitioned + sorted by term so
+    each parquet file covers a narrow term range — query-time ``term IN``
+    filters then prune whole files/row-groups via min/max stats (the scan-
+    pruning X2/X3 of SURVEY.md §4, applied to our own index layout).
+    Logical content is unchanged (index_fingerprint invariant)."""
+    import shutil
+
+    seg_dir = os.path.join(index_dir, "segments")
+    if n_files is None:
+        n_files = spark.sparkContext.defaultParallelism * 2
+    seg = spark.read.parquet(seg_dir)
+    tmp = seg_dir + ".tmp"
+    (
+        seg.repartitionByRange(n_files, "term", "shard")
+        .sortWithinPartitions("term", "shard", "gen")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = seg_dir + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(seg_dir, old)
+    os.replace(tmp, seg_dir)
+    shutil.rmtree(old)
 
 
 def index_fingerprint(spark: SparkSession, index_dir: str) -> int:

@@ -38,12 +38,14 @@ BLOCK = 128  # postings per block-max block
 # VByte (LEB128): 7 data bits per byte, MSB set => more bytes follow.
 # ---------------------------------------------------------------------------
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array."""
+def vbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode; also returns per-value byte lengths so a
+    caller encoding MANY posting lists in one pass can slice the buffer
+    per list (the whole-partition encode fast path)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.shape[0]
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # byte length of each value: 1 + number of 128-thresholds passed
     nbytes = np.ones(n, dtype=np.int64)
     for k in range(1, 10):
@@ -60,7 +62,12 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         more = (nbytes[mask] > k + 1).astype(np.uint8) << np.uint8(7)
         out[starts[mask] + k] = byte | more
         cur[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    return vbyte_encode_with_lengths(values)[0]
 
 
 def vbyte_decode(buf: bytes) -> np.ndarray:
