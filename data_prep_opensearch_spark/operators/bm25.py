@@ -82,52 +82,78 @@ def load_meta(index_dir: str) -> dict:
 
 
 class BM25Engine:
-    """Warm query engine: segment + doclen DataFrames loaded once (and
-    optionally cached in executor memory) so per-query cost is the two
-    small jobs only — the dictionary agg and the scoring pass. This is
-    the 'warm engine' the latency baseline measures (BASELINE.md §2)."""
+    """Warm query engine. Init loads, once:
+      - the term dictionary (term -> global df) into driver memory (tiny:
+        one row per term; at web scale this becomes its own filtered-read
+        table — the broadcast-dictionary step X10 of SURVEY.md §4),
+      - segments CACHED pre-partitioned by shard (so a query is filter +
+        mapInPandas with NO shuffle),
+      - the per-shard doclen sidecar as a Spark broadcast (a few KB/shard;
+        at web scale this would be a bucketed co-located join instead).
+    A warm query is then exactly ONE Spark job:
+      filter(term IN ...) -> per-shard block-max WAND / dense top-k
+      -> TakeOrderedAndProject.
+    """
 
     def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True) -> None:
         self.spark = spark
         self.meta = load_meta(index_dir)
-        self.seg = spark.read.parquet(os.path.join(index_dir, "segments"))
-        self.doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        self._shard_partitioned = cache
         if cache:
-            self.seg = self.seg.cache()
-            self.doclens = self.doclens.cache()
+            n_part = max(spark.sparkContext.defaultParallelism, self.meta["n_shards"])
+            self.seg = seg.repartition(min(n_part, self.meta["n_shards"]), "shard").cache()
             self.seg.count()
-            self.doclens.count()
+        else:
+            self.seg = seg
+        # global term dictionary: sums df across shards/generations
+        dict_pdf = (
+            seg.groupBy("term").agg(F.sum("df").alias("df")).toPandas()
+        )
+        self.df_map = dict(zip(dict_pdf["term"], dict_pdf["df"].astype(int)))
+        dl_rows = spark.read.parquet(os.path.join(index_dir, "doclens")).collect()
+        self.bc_doclens = spark.sparkContext.broadcast(
+            {int(r["shard"]): (int(r["base"]), bytes(r["dl_bytes"])) for r in dl_rows}
+        )
 
     def topk(self, query: str, k: int = 10, scorer: str = "auto") -> DataFrame:
         spark = self.spark
         terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
+        terms = [t for t in terms if t in self.df_map]
         if not terms:
             return spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
-
-        seg = self.seg.filter(F.col("term").isin(terms))
-        df_rows = seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
-        if not df_rows:
-            return spark.createDataFrame([], TOPK_SCHEMA)
-        idf_map = {r["term"]: idf(n_docs, int(r["df"])) for r in df_rows}
+        idf_map = {t: idf(n_docs, self.df_map[t]) for t in terms}
 
         if scorer == "auto":
-            # WAND's per-posting Python walk only pays off when pruning can
-            # actually skip work: multiple terms. Single-term queries score
-            # every posting either way -> take the vectorized dense path.
-            scorer = "dense" if len(terms) == 1 else "wand"
+            # WAND's per-posting Python walk pays off when pruning can skip
+            # work: several terms, none of them scanning most of the corpus.
+            # Single-term or stopword-dominated queries score (nearly)
+            # every posting either way -> vectorized dense path wins.
+            hot = max(self.df_map[t] for t in terms) > 0.1 * n_docs
+            scorer = "dense" if (len(terms) == 1 or hot) else "wand"
         scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
 
-        seg = seg.join(F.broadcast(self.doclens), "shard")
+        seg = self.seg.filter(F.col("term").isin(terms))
+        if not self._shard_partitioned:
+            # cold path: co-locate each shard's rows (the filtered set is
+            # tiny — <= |terms| rows per shard — so this shuffle is cheap)
+            seg = seg.repartition(F.col("shard"))
+        bc = self.bc_doclens
 
         def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                for _, grp in pdf.groupby("shard"):
-                    yield scorer_fn(grp, idf_map, avgdl, k)
+            # a shard's rows can span Arrow batches: consume the WHOLE
+            # partition before grouping, else a doc's score splits across
+            # partial term sets (top-k would then rank partial sums)
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            for shard, grp in pdf.groupby("shard"):
+                base, dl_bytes = bc.value[int(shard)]
+                yield scorer_fn(grp, idf_map, avgdl, k, base, dl_bytes)
 
-        # group whole shards per task: a shard covers <= shard_width docIDs,
-        # so scorer memory is bounded regardless of corpus size
-        local = seg.repartition(F.col("shard")).mapInPandas(score_partition, TOPK_SCHEMA)
+        local = seg.mapInPandas(score_partition, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -153,11 +179,11 @@ def _empty_topk() -> pd.DataFrame:
     })
 
 
-def _decode_group(grp: pd.DataFrame) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+def _decode_group(grp: pd.DataFrame, base: int) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Decode (and merge across generations) each term's postings."""
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for row in grp.itertuples(index=False):
-        docs, tfs = decode_posting_list(bytes(row.doc_bytes), bytes(row.tf_bytes), base=int(row.base))
+        docs, tfs = decode_posting_list(bytes(row.doc_bytes), bytes(row.tf_bytes), base=base)
         if row.term in out:
             docs, tfs = merge_posting_runs([out[row.term], (docs, tfs)])
         out[row.term] = (docs, tfs)
@@ -165,13 +191,13 @@ def _decode_group(grp: pd.DataFrame) -> dict[str, tuple[np.ndarray, np.ndarray]]
 
 
 def _score_shard_dense(
-    grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int
+    grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
+    base: int, dl_bytes: bytes,
 ) -> pd.DataFrame:
     """Exhaustive vectorized scorer: dense accumulator over the shard's
     contiguous docID range (shards ARE docID ranges by construction)."""
-    postings = _decode_group(grp)
-    base = int(grp.iloc[0].base)
-    dl_arr = vbyte_decode(bytes(grp.iloc[0].dl_bytes)).astype(np.int64)
+    postings = _decode_group(grp, base)
+    dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
     if not postings:
         return _empty_topk()
     acc = np.zeros(dl_arr.shape[0], dtype=np.float64)
@@ -195,15 +221,15 @@ def _score_shard_dense(
 
 
 def _score_shard_wand(
-    grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int
+    grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
+    base: int, dl_bytes: bytes,
 ) -> pd.DataFrame:
     """Block-max WAND within one shard (Broder et al. CIKM'03; Ding & Suel
     SIGIR'11). Pruning is conservative around ties: candidates whose upper
     bound EQUALS the heap threshold are still scored, so results are exact
     under the (score desc, docID asc) order."""
-    postings = _decode_group(grp)
-    base = int(grp.iloc[0].base)
-    dl_arr = vbyte_decode(bytes(grp.iloc[0].dl_bytes)).astype(np.int64)
+    postings = _decode_group(grp, base)
+    dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
     terms = [t for t in postings if postings[t][0].size > 0]
     if not terms:
         return _empty_topk()
@@ -255,10 +281,16 @@ def _score_shard_wand(
         if pivot_doc >= INF_DOC:
             break
         if cur_doc(live[0]) == pivot_doc:
-            # block-max refinement
+            # block-max refinement over EVERY term positioned at pivot_doc:
+            # terms after the pivot index can sit at the same doc and their
+            # contribution is real — omitting them under-estimates the
+            # bound and wrongly prunes (caught by the 500k-doc parity run)
+            upto = pivot_idx
+            while upto + 1 < len(live) and cur_doc(live[upto + 1]) == pivot_doc:
+                upto += 1
             refined = sum(
                 _block_ub(t, pivot_doc, blocks, idf_map, avgdl)
-                for t in live[: pivot_idx + 1]
+                for t in live[: upto + 1]
             )
             if len(heap) >= k and refined < threshold:
                 _advance_past(live[0], pivot_doc, postings, cursors)

@@ -44,11 +44,13 @@ def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
     )
 
 
-def word_shingles(text: Column, n: int = SHINGLE_N) -> Column:
-    """Word n-gram shingles as '_'-joined strings (JVM-side: tokens ->
-    transform over a sequence of start offsets)."""
-    toks = tokens_col(text)
-    # for i in 0..size-n: join(toks[i:i+n], '_')
+def word_shingles(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles as '_'-joined strings from a TOKEN ARRAY column.
+
+    Takes a bound column (not an expression): a lambda capturing an
+    expression subtree (e.g. the tokenizing regexp) gets re-evaluated per
+    array element by Catalyst — measured ~10x slower. Callers project the
+    token array first."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -60,8 +62,9 @@ def word_shingles(text: Column, n: int = SHINGLE_N) -> Column:
 
 def shingle_rows(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """(key, shingle) distinct rows — the inverted shingle index."""
+    toks = df.select(F.col(key), tokens_col(F.col(text)).alias("_toks"))
     return (
-        df.select(F.col(key), F.explode(word_shingles(F.col(text))).alias("shingle"))
+        toks.select(F.col(key), F.explode(word_shingles(F.col("_toks"))).alias("shingle"))
         .distinct()
     )
 
@@ -77,7 +80,7 @@ def ngram_jaccard_pairs(
     shingles first (stopword-shingle suppression), same deferral idea as
     the reference's oversized-doc isolation (api/mysql_store.py:841-865).
     """
-    sh = shingle_rows(df, text, key)
+    sh = shingle_rows(df, text, key).localCheckpoint(eager=True)
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -144,6 +147,10 @@ def minhash_lsh_pairs(
         .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
             F.concat_ws(":", F.col("seed"), F.col("minhash")))))).alias("band_hash"))
     )
+    # materialize before the self-join: without this, BOTH join sides
+    # recompute the whole shingle->minhash->band DAG (measured 25x slower).
+    # At persistent scale the signature table is written to storage instead.
+    band_hashes = band_hashes.localCheckpoint(eager=True)
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     return (

@@ -119,7 +119,11 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: LSH-bucket equi-join prunes candidates,
     exact cosine filters. Same-bucket-only keeps the join linear-ish;
     raise n_planes as the table grows."""
-    withb = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), n_planes))
+    # materialize bucket assignment before the self-join (both sides would
+    # otherwise recompute the n_planes dot products per row)
+    withb = df.withColumn(
+        "_bucket", lsh_bucket_col(F.col(vec_col), n_planes)
+    ).localCheckpoint(eager=True)
     a = withb.alias("a")
     b = withb.alias("b")
     return (

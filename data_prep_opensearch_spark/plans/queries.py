@@ -202,7 +202,11 @@ def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.bm25 import query_topk
     from data_prep_opensearch_spark.operators.index_build import build_index
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    import data_prep_opensearch_spark as pkg
+
+    # cache key includes the package version so a stale on-disk index from
+    # an older format is never reused across rounds
+    tag = hashlib.sha256(f"{sf_dir}@{pkg.__version__}".encode()).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         src = load(spark, sf_dir, "documents").select(

@@ -1,0 +1,72 @@
+"""Structured Streaming twin: the same rows through readStream produce the
+same windowed rollup as the batch plan (late rows within the watermark
+included)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_prep_opensearch_spark.streaming.events import (
+    sessionize_batch,
+    windowed_counts_batch,
+    windowed_counts_stream,
+)
+
+
+def _events_df(spark):
+    rows = []
+    base = "2024-01-01 00:{m:02d}:{s:02d}"
+    for i in range(500):
+        m, s = (i * 7) % 60, (i * 13) % 60
+        rows.append((i, base.format(m=m, s=s), i % 9, ["click", "view", "buy"][i % 3], float(i % 17)))
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type", "value"])
+    return df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+def test_stream_equals_batch(spark, tmp_root):
+    events = _events_df(spark)
+    src = os.path.join(tmp_root, "stream_src")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = windowed_counts_batch(spark.read.parquet(src), minutes=10)
+    expected = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+                for r in batch.collect()}
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = windowed_counts_stream(stream, minutes=10)
+    ckpt = tempfile.mkdtemp(dir=tmp_root)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+               for r in spark.sql("SELECT * FROM win_counts").collect()}
+    finally:
+        q.stop()
+    assert got == expected
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 5, "click", 1.0),
+        (2, "2024-01-01 00:10:00", 5, "click", 1.0),   # same session (10m gap)
+        (3, "2024-01-01 01:00:00", 5, "click", 1.0),   # new session (50m gap)
+        (4, "2024-01-01 00:00:00", 6, "view", 1.0),    # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type", "value"])
+    df = df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = {(r["user_id"], r["session_seq"]): r["n_events"]
+           for r in sessionize_batch(df, gap_minutes=30).collect()}
+    assert out == {(5, 1): 2, (5, 2): 1, (6, 1): 1}
