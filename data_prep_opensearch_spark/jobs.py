@@ -1,0 +1,115 @@
+"""spark-submit entry point:
+
+    spark-submit --py-files dposs.zip -m ... data_prep_opensearch_spark/jobs.py \
+        build  --source <parquet_dir> --index <index_dir> [--shards N] [--groups K] [--resume]
+    ... jobs.py query  --index <index_dir> --q "terms ..." [--k 10] [--scorer auto]
+    ... jobs.py merge  --index <index_dir> [--fan-in 8] [--apply-deletes]
+    ... jobs.py add    --index <index_dir> --source <parquet_dir>
+    ... jobs.py delete --index <index_dir> --ids <parquet_dir_with_doc_id>
+    ... jobs.py bench-corpus --docs N --out <parquet_dir>
+
+On a cluster the session comes from spark-submit's conf; locally a
+local[*] session is created. All jobs are idempotent/resumable via the
+lineage table (BASELINE.md resumability criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from data_prep_opensearch_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dposs-jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--groups", type=int, default=4)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--tokenizer", default="simple", choices=["simple", "code"])
+    b.add_argument("--sort-segments", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--scorer", default="auto", choices=["auto", "wand", "dense"])
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--fan-in", type=int, default=8)
+    m.add_argument("--apply-deletes", action="store_true")
+
+    a = sub.add_parser("add")
+    a.add_argument("--index", required=True)
+    a.add_argument("--source", required=True)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True)
+
+    g = sub.add_parser("bench-corpus")
+    g.add_argument("--docs", type=int, required=True)
+    g.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    spark = _spark(f"dposs_{args.cmd}")
+
+    if args.cmd == "build":
+        from data_prep_opensearch_spark.operators.index_build import (
+            build_index,
+            sort_segments,
+        )
+
+        meta = build_index(
+            spark, spark.read.parquet(args.source), args.index,
+            n_shards=args.shards, tokenizer=args.tokenizer,
+            n_groups=args.groups, resume=args.resume,
+        )
+        if args.sort_segments and meta.get("status") == "complete":
+            sort_segments(spark, args.index)
+        print(json.dumps(meta))
+    elif args.cmd == "query":
+        from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+        rows = query_topk(spark, args.index, args.q, args.k, scorer=args.scorer).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+    elif args.cmd == "merge":
+        from data_prep_opensearch_spark.operators.segment_merge import merge_segments
+
+        print(json.dumps(merge_segments(spark, args.index, fan_in=args.fan_in,
+                                        apply_deletes=args.apply_deletes)))
+    elif args.cmd == "add":
+        from data_prep_opensearch_spark.operators.incremental import add_documents
+
+        print(json.dumps(add_documents(spark, args.index, spark.read.parquet(args.source))))
+    elif args.cmd == "delete":
+        from data_prep_opensearch_spark.operators.incremental import delete_documents
+
+        n = delete_documents(spark, args.index, spark.read.parquet(args.ids))
+        print(json.dumps({"tombstoned": n}))
+    elif args.cmd == "bench-corpus":
+        from data_prep_opensearch_spark.sources.corpus import corpus_df
+
+        corpus_df(spark, args.docs).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"docs": args.docs, "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,9 +112,14 @@ class BM25Engine:
         )
         self.df_map = dict(zip(dict_pdf["term"], dict_pdf["df"].astype(int)))
         dl_rows = spark.read.parquet(os.path.join(index_dir, "doclens")).collect()
-        self.bc_doclens = spark.sparkContext.broadcast(
-            {int(r["shard"]): (int(r["base"]), bytes(r["dl_bytes"])) for r in dl_rows}
-        )
+        from data_prep_opensearch_spark.operators.incremental import load_tombstones
+
+        tombs = load_tombstones(spark, index_dir)
+        self.bc_doclens = spark.sparkContext.broadcast({
+            int(r["shard"]): (int(r["base"]), bytes(r["dl_bytes"]),
+                              tombs.get(int(r["shard"])))
+            for r in dl_rows
+        })
 
     def topk(self, query: str, k: int = 10, scorer: str = "auto") -> DataFrame:
         spark = self.spark
@@ -150,8 +155,8 @@ class BM25Engine:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
             for shard, grp in pdf.groupby("shard"):
-                base, dl_bytes = bc.value[int(shard)]
-                yield scorer_fn(grp, idf_map, avgdl, k, base, dl_bytes)
+                base, dl_bytes, deleted = bc.value[int(shard)]
+                yield scorer_fn(grp, idf_map, avgdl, k, base, dl_bytes, deleted)
 
         local = seg.mapInPandas(score_partition, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -192,7 +197,7 @@ def _decode_group(grp: pd.DataFrame, base: int) -> dict[str, tuple[np.ndarray, n
 
 def _score_shard_dense(
     grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
-    base: int, dl_bytes: bytes,
+    base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exhaustive vectorized scorer: dense accumulator over the shard's
     contiguous docID range (shards ARE docID ranges by construction)."""
@@ -209,6 +214,8 @@ def _score_shard_dense(
         acc[off] += idf_map[term] * bm25_tf_term(
             tfs.astype(np.float64), dl.astype(np.float64), avgdl
         )
+    if deleted is not None and deleted.size:
+        acc[deleted - base] = 0.0  # tombstone mask
     nz = np.flatnonzero(acc)
     if nz.size == 0:
         return _empty_topk()
@@ -222,7 +229,7 @@ def _score_shard_dense(
 
 def _score_shard_wand(
     grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
-    base: int, dl_bytes: bytes,
+    base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Block-max WAND within one shard (Broder et al. CIKM'03; Ding & Suel
     SIGIR'11). Pruning is conservative around ties: candidates whose upper
@@ -305,6 +312,10 @@ def _score_shard_wand(
                     cursors[t] = c + 1
                 elif cur_doc(t) > pivot_doc:
                     break
+            if deleted is not None and deleted.size:
+                di = int(np.searchsorted(deleted, pivot_doc))
+                if di < deleted.size and deleted[di] == pivot_doc:
+                    continue  # tombstoned: cursors advanced, doc not ranked
             item = (score, -pivot_doc)
             if len(heap) < k:
                 heapq.heappush(heap, item)

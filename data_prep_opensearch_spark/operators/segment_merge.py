@@ -37,8 +37,15 @@ def merge_segments(
     spark: SparkSession,
     index_dir: str,
     fan_in: int = 8,
+    apply_deletes: bool = False,
 ) -> dict:
-    """Merge generations until one remains, ``fan_in`` generations per pass."""
+    """Merge generations until one remains, ``fan_in`` generations per pass.
+
+    With ``apply_deletes``, tombstoned docIDs are physically dropped from
+    the merged postings and the tombstone table is cleared afterwards
+    (doc_stats rows and global N/avgdl are left to a separate vacuum
+    policy; retrieval is already exact because scorers mask tombstones).
+    """
     seg_dir = os.path.join(index_dir, "segments")
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
@@ -46,17 +53,28 @@ def merge_segments(
 
     dl = spark.read.parquet(os.path.join(index_dir, "doclens")).select("shard", "dl_bytes")
 
+    bc_tombs = None
+    if apply_deletes:
+        from data_prep_opensearch_spark.operators.incremental import load_tombstones
+
+        tombs = load_tombstones(spark, index_dir)
+        if tombs:
+            bc_tombs = spark.sparkContext.broadcast(tombs)
+
     passes = 0
+    force_full_pass = bc_tombs is not None  # deletes must touch every row
     while True:
         seg = spark.read.parquet(seg_dir)
         gens = sorted(r["gen"] for r in seg.select("gen").distinct().collect())
-        if len(gens) <= 1:
+        if not gens or (len(gens) <= 1 and not force_full_pass):
             break
-        batch = gens[:fan_in]
+        batch = gens if force_full_pass else gens[:fan_in]
+        force_full_pass = False
         next_gen = max(gens) + 1
         to_merge = seg.filter(F.col("gen").isin(batch))
         keep = seg.filter(~F.col("gen").isin(batch))
-        merged = _merge_generation_df(to_merge, dl, next_gen)
+        merged = _merge_generation_df(to_merge, dl, next_gen, bc_tombs)
+        bc_tombs = None  # applied in the (full) first pass
         tmp_dir = seg_dir + ".tmp"
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
@@ -71,6 +89,11 @@ def merge_segments(
         shutil.rmtree(old)
         passes += 1
 
+    if apply_deletes:
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.exists(tomb_dir):
+            shutil.rmtree(tomb_dir)
+
     seg = spark.read.parquet(seg_dir)
     gens = sorted(r["gen"] for r in seg.select("gen").distinct().collect())
     meta["generations"] = gens
@@ -80,8 +103,9 @@ def merge_segments(
     return {"passes": passes, "generations": gens}
 
 
-def _merge_generation_df(to_merge, doclens, next_gen: int):
-    """Decode -> last-wins merge -> re-encode each (term, shard) group.
+def _merge_generation_df(to_merge, doclens, next_gen: int, bc_tombs=None):
+    """Decode -> last-wins merge [-> drop tombstoned docs] -> re-encode
+    each (term, shard) group.
 
     Needs per-shard doclens to rebuild block_min_dl for merged blocks, so
     the (small) doclen sidecar is broadcast-joined in.
@@ -104,6 +128,13 @@ def _merge_generation_df(to_merge, doclens, next_gen: int):
                     bytes(row.doc_bytes), bytes(row.tf_bytes), base=base
                 ))
             docs, tfs = merge_posting_runs(runs)
+            if bc_tombs is not None:
+                dead = bc_tombs.value.get(int(shard))
+                if dead is not None and dead.size:
+                    alive = ~np.isin(docs, dead, assume_unique=False)
+                    docs, tfs = docs[alive], tfs[alive]
+            if docs.shape[0] == 0:
+                continue
             dl_arr = vbyte_decode(bytes(grp.iloc[0].dl_bytes)).astype(np.int64)
             dls = dl_arr[docs - base]
             doc_b, tf_b, blk = encode_posting_list(docs, tfs, dls, base=base)
@@ -113,7 +144,8 @@ def _merge_generation_df(to_merge, doclens, next_gen: int):
                 blk.first.tolist(), blk.last.tolist(),
                 blk.max_tf.tolist(), blk.min_dl.tolist(),
             ))
-        yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
     spark = to_merge.sparkSession
     return joined.repartition(
