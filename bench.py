@@ -38,9 +38,9 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "240000"))
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "500000"))
 LOW = int(os.environ.get("BENCH_LOW_CORES", "2"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
 N_SHARDS = 32  # corpus-determined, NOT core-count-determined: docIDs and
                # the index must be identical at every parallelism
 
@@ -128,16 +128,18 @@ def main() -> None:
         spark.stop()
 
     # --- 1. scaling: N vs 4N cores, same input, fresh JVM each ---------
-    # Interleaved median-of-TRIALS: this VM sees bursty external CPU steal
+    # Interleaved TRIALS per level: this VM sees bursty external CPU steal
     # (±30-50% on identical runs); a single pair routinely lands anywhere
-    # in 0.4-2.6 "efficiency". Medians of interleaved trials are stable.
+    # in 0.4-2.6 "efficiency".
     high = LOW * 4
     lows, highs = [], []
     for _ in range(TRIALS):
         lows.append(build_once_subprocess(LOW, CORPUS_DOCS, corpus_dir))
         highs.append(build_once_subprocess(high, CORPUS_DOCS, corpus_dir))
-    t_low = statistics.median(lows)
-    t_high = statistics.median(highs)
+    # external steal noise is strictly additive -> min is the consistent
+    # estimator of the true wall at each level
+    t_low = min(lows)
+    t_high = min(highs)
     thr_low = CORPUS_DOCS / t_low
     thr_high = CORPUS_DOCS / t_high
     result["index_build"] = {

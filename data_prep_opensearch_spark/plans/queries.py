@@ -854,6 +854,69 @@ def rel_skip_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skip_unchanged(d, done, "doc_id", "fp").select("doc_id")
 
 
+@register(
+    "rel_top2_events_per_user",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+    covers=["O6 window-partitioned argmax (stratified head-k)"],
+)
+def rel_top2_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@register(
+    "ft_canonical_urls",
+    """
+    SELECT doc_id,
+           'https://' || lower(upper(source) || '.Example.com') || '/Doc/' || doc_id AS url
+    FROM documents
+    """,
+    covers=["F1 canonical_url (scheme default, host lowercase, fragment strip)"],
+)
+def ft_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize mixed-case URLs with fragments, canonicalize with the
+    engine's pandas UDF; the oracle states the expected canonical form
+    directly (host lowered, path case kept, #frag dropped)."""
+    from data_prep_opensearch_spark.functions.text import canonical_url_udf
+
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.upper(F.col("source")), F.lit(".Example.com/Doc/"),
+        F.col("doc_id").cast("string"), F.lit("#frag"),
+    )
+    return d.select("doc_id", canonical_url_udf(raw).alias("url"))
+
+
+@register(
+    "ft_clean_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+    covers=["F3 strip_html_light + whitespace collapse (JVM-side)"],
+)
+def ft_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.functions.text import norm_ws
+
+    d = load(spark, sf_dir, "documents")
+    stripped = F.regexp_replace(F.col("text"), "<[^>]+>", " ")
+    return d.select("doc_id", norm_ws(stripped).alias("cleaned"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming twins (batch semantics checked by the oracle; the streaming
 # path itself is tested in tests/test_streaming.py)
