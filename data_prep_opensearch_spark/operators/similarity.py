@@ -109,6 +109,81 @@ def ann_lsh_topk(
     )
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 3, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a driver-side sample — the IVF
+    coarse quantizer. At 100 TB the sample is a bounded-size
+    `df.sample(...).limit(...)` collect; centroids stay driver-sized."""
+    n = sample.shape[0]
+    idx = np.arange(n, dtype=np.uint64)
+    z = (idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15 % (1 << 64))) \
+        * np.uint64(0xBF58476D1CE4E5B9)
+    order = np.argsort(z)
+    centroids = sample[order[:k]].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if members.shape[0]:
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign_col(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as a JVM expression (argmin over per-centroid
+    squared distances — no UDF; codegen'd per row)."""
+    best_id = F.lit(0)
+    best_d = None
+    for c in range(centroids.shape[0]):
+        cen = F.array(*[F.lit(float(x)) for x in centroids[c]])
+        d = F.aggregate(
+            F.zip_with(vec, cen, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(c)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id.cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    sample_rows: int = 2000,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize with k-means centroids (trained on a
+    deterministic driver-side sample), score only the n_probe clusters
+    nearest to the query. The scale path partitions/clusters the table by
+    ivf cluster id so a probe is a partition-pruned scan."""
+    sample = np.array(
+        [r[vec_col] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    cents = _kmeans_lite(sample, n_clusters)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    dists = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(dists)[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("_cluster", ivf_assign_col(F.col(vec_col), cents))
+        .filter(F.col("_cluster").isin(probes))
+        .select(
+            F.col(key),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(key))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

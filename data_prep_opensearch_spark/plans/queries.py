@@ -592,6 +592,21 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, qvec, k=10)
 
 
+@register(
+    "emb_ann_ivf",
+    None,  # approximate by construction; rows-only check
+    covers=["IVF ANN (coarse quantizer + cluster probes)"],
+)
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(e, qvec, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Relational / prep-semantics
 # ---------------------------------------------------------------------------

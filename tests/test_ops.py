@@ -134,6 +134,18 @@ def test_ann_lsh_recalls_identical(spark):
     assert got[0] == 3  # the identical vector is always in the probed buckets
 
 
+def test_ivf_topk_recalls_identical(spark):
+    from data_prep_opensearch_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.normal(size=16).tolist()) for i in range(80)]
+    q = vecs[17][1]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = [r["vec_id"] for r in ivf_topk(df, q, k=1, n_clusters=4, n_probe=1).collect()]
+    # the identical vector's cluster is by definition the query's nearest
+    assert got[0] == 17
+
+
 def test_embedding_near_dup(spark):
     from data_prep_opensearch_spark.operators.similarity import embedding_near_dup_pairs
 
