@@ -87,6 +87,117 @@ def canonical_url_udf(s: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# classify_url — the P9 URL-classification decision tree, reference
+# stages/enricher/utils.py:920-990 (classify_url_for_enrichment) with its
+# pure helpers _normalise_netloc / _host_is_obviously_internal /
+# _path_has_dangerous_extension (utils.py:727-733, 747-767, 801-808).
+# The network-dependent tail (redirect resolution + reputation lookups,
+# validate_url_safety) is out of scope by SURVEY.md §7.4 — this is the
+# complete OFFLINE decision tree, which is the part a training-data
+# pipeline runs at scale.
+# ---------------------------------------------------------------------------
+
+_DANGEROUS_EXTENSIONS = {
+    ".exe", ".msi", ".bat", ".cmd", ".ps1", ".vbs", ".dll",
+    ".pkg", ".dmg", ".app",
+    ".deb", ".rpm", ".appimage", ".sh", ".run",
+    ".jar", ".py", ".pyz", ".pyc",
+    ".scr", ".com", ".pif", ".msix", ".msixbundle", ".reg",
+    ".iso", ".img", ".bin", ".apk", ".ipa",
+    ".zip", ".rar", ".7z", ".tar", ".gz", ".bz2", ".xz", ".tgz", ".tbz2", ".txz",
+}
+_LEGACY_WEBPAGE_EXTENSIONS = {".php", ".cgi", ".jsp", ".asp", ".aspx", ".cfm"}
+
+
+def _normalise_netloc(netloc: str) -> str:
+    n = (netloc or "").strip().lower()
+    if n.startswith("www."):
+        n = n[4:]
+    return n
+
+
+def _host_is_obviously_internal(host: str) -> bool:
+    import ipaddress
+
+    h = _normalise_netloc(host)
+    if not h:
+        return True
+    if h in {"localhost", "localhost.localdomain"}:
+        return True
+    if h.endswith((".local", ".localdomain", ".internal", ".home", ".lan")):
+        return True
+    try:
+        ip = ipaddress.ip_address(h)
+    except ValueError:
+        return False
+    return (
+        ip.is_private or ip.is_loopback or ip.is_link_local
+        or ip.is_multicast or ip.is_reserved or ip.is_unspecified
+    )
+
+
+def _path_has_dangerous_extension(path: str) -> bool:
+    p = (path or "").strip().lower()
+    if not p:
+        return False
+    if any(p.endswith(ext) for ext in _LEGACY_WEBPAGE_EXTENSIONS):
+        return False
+    return any(p.endswith(ext) for ext in _DANGEROUS_EXTENSIONS)
+
+
+_GH_PROJECT_RE = re.compile(r"^/[^/]+/[^/]+/projects(?:/|$)")
+
+
+def classify_url_py(url) -> tuple[bool, str]:
+    """(ok, reason) — reason is 'ok' or the first failing rule's name."""
+    from urllib.parse import urlparse
+
+    if isinstance(url, (bytes, bytearray)):
+        url = url.decode("utf-8", "ignore")
+    if not isinstance(url, str):
+        return False, "not_a_string"
+    u = url.strip()
+    if not u:
+        return False, "empty"
+    try:
+        p = urlparse(u)
+    except ValueError:
+        return False, "parse_error"
+    if (p.scheme or "").lower() != "https":
+        return False, "https_required"
+    if p.username or p.password:
+        return False, "embedded_credentials"
+    netloc = _normalise_netloc(p.netloc)
+    if not netloc:
+        return False, "missing_host"
+    if _host_is_obviously_internal(p.hostname or netloc):
+        return False, "internal_host"
+    path = p.path or ""
+    path_l = path.lower()
+    if netloc == "github.com":
+        if path_l.startswith("/orgs/") and "/projects/" in path_l:
+            return False, "github_project_board"
+        if _GH_PROJECT_RE.match(path_l):
+            return False, "github_project_board"
+        if path_l in {"/notifications", "/pulls", "/issues", "/settings"}:
+            return False, "github_dashboard_page"
+    if "." not in netloc:
+        return False, "host_missing_tld"
+    if len(netloc.rsplit(".", 1)[-1]) < 2:
+        return False, "host_bad_tld"
+    if _path_has_dangerous_extension(path):
+        return False, "dangerous_payload_extension"
+    if (path == "" or path == "/") and not (p.query and p.query.strip()):
+        return False, "homepage_or_bare_domain"
+    return True, "ok"
+
+
+@pandas_udf(T.StringType())
+def classify_url_reason_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda u: classify_url_py(u)[1])
+
+
+# ---------------------------------------------------------------------------
 # normalize_date_to_yyyy_mm_dd — reference: common/utils.py:143-209
 # (ordinal-suffix strip, ISO first, then day-first fallback)
 # ---------------------------------------------------------------------------
@@ -95,24 +206,42 @@ _ORDINAL = re.compile(r"(\d{1,2})(st|nd|rd|th)\b", re.IGNORECASE)
 
 
 def normalize_date_py(s: str | None) -> str | None:
-    if s is None or not s.strip():
+    """Full reference breadth (common/utils.py:143-209): ordinal-suffix
+    strip, comma tolerance, ISO/year-first preferred (so '2026-02-10'
+    never flips under day-first), dateutil day-first fuzzy fallback for
+    everything else, tz-aware values converted to UTC before taking the
+    calendar date. Returns None where the reference raises (UDF-friendly
+    null propagation; the dropped-record sink records the null)."""
+    if s is None or not str(s).strip():
         return None
-    s = _ORDINAL.sub(r"\1", s.strip())
-    from datetime import datetime
+    from datetime import datetime, timezone
 
-    iso_like = re.match(r"^(\d{4})-(\d{2})-(\d{2})", s)
+    from dateutil import parser as du_parser
+
+    s = _ORDINAL.sub(r"\1", str(s).strip())
+    s = re.sub(r"\s*,\s*", " ", s)
+    s_iso = s.replace("Z", "+00:00").replace("z", "+00:00")
+    iso_like = bool(re.match(r"^\d{4}[-/]\d{1,2}[-/]\d{1,2}(?:$|[Tt\s])", s))
+    dt = None
     if iso_like:
         try:
-            return datetime(int(iso_like.group(1)), int(iso_like.group(2)),
-                            int(iso_like.group(3))).strftime("%Y-%m-%d")
+            dt = datetime.fromisoformat(s_iso)
         except ValueError:
-            return None
-    for fmt in ("%d/%m/%Y", "%d-%m-%Y", "%d %b %Y", "%d %B %Y", "%B %d %Y", "%b %d %Y", "%Y/%m/%d"):
+            try:
+                dt = du_parser.parse(s, dayfirst=False, yearfirst=True, fuzzy=True)
+            except (du_parser.ParserError, ValueError, OverflowError):
+                return None
+    else:
         try:
-            return datetime.strptime(s, fmt).strftime("%Y-%m-%d")
-        except ValueError:
-            continue
-    return None
+            dt = du_parser.parse(s, dayfirst=True, yearfirst=False, fuzzy=True)
+        except (du_parser.ParserError, ValueError, OverflowError):
+            try:
+                dt = datetime.fromisoformat(s_iso)
+            except ValueError:
+                return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc)
+    return dt.date().isoformat()
 
 
 @pandas_udf(T.StringType())

@@ -25,7 +25,6 @@ Query plan shape (the engine's second entry point, SURVEY.md §3.3):
 
 from __future__ import annotations
 
-import heapq
 import json
 import math
 import os
@@ -45,7 +44,6 @@ from data_prep_opensearch_spark.operators.postings import (
 
 K1 = 1.2
 B = 0.75
-INF_DOC = 1 << 62
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -95,10 +93,26 @@ class BM25Engine:
       -> TakeOrderedAndProject.
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = True,
+        prune_superseded: bool = False,
+    ) -> None:
+        """``prune_superseded``: mask every document version except the
+        latest per (repo, path) — tombstone-style masking (scores use
+        full-corpus stats; superseded docs are excluded from results).
+        The id set is collected like tombstones; at web scale both become
+        a broadcast-built per-shard bitmap from the same anti-join."""
+        from data_prep_opensearch_spark.operators.manifest import (
+            read_doclens,
+            read_segments,
+        )
+
         self.spark = spark
         self.meta = load_meta(index_dir)
-        seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+        seg = read_segments(spark, index_dir)
         self._shard_partitioned = cache
         if cache:
             n_part = max(spark.sparkContext.defaultParallelism, self.meta["n_shards"])
@@ -106,36 +120,75 @@ class BM25Engine:
             self.seg.count()
         else:
             self.seg = seg
-        # global term dictionary: sums df across shards/generations
-        dict_pdf = (
-            seg.groupBy("term").agg(F.sum("df").alias("df")).toPandas()
-        )
-        self.df_map = dict(zip(dict_pdf["term"], dict_pdf["df"].astype(int)))
-        dl_rows = spark.read.parquet(os.path.join(index_dir, "doclens")).collect()
+        # term dictionary: resolved LAZILY per query via a `term IN (...)`
+        # filtered aggregate over the (term-sorted) segment files — the
+        # parquet scan prunes on term min/max stats, so this is a
+        # dictionary-table point read, never a full-vocabulary collect
+        # (the round-1 toPandas() pulled the whole vocab to the driver,
+        # which cannot exist at 10^12 docs). Warm terms are cached.
+        self._df_cache: dict[str, int] = {}
+        dl_rows = read_doclens(spark, index_dir).collect()
         from data_prep_opensearch_spark.operators.incremental import load_tombstones
 
         tombs = load_tombstones(spark, index_dir)
+        if prune_superseded:
+            import numpy as np
+            import pandas as pd
+
+            from data_prep_opensearch_spark.operators.incremental import (
+                superseded_doc_ids,
+            )
+            from data_prep_opensearch_spark.operators.index_build import SHARD_WIDTH
+
+            sup = superseded_doc_ids(spark, index_dir).toPandas()
+            if not sup.empty:
+                ids = np.unique(sup["doc_id"].to_numpy(dtype=np.int64))
+                for shard, grp in pd.Series(ids).groupby(ids // SHARD_WIDTH):
+                    old = tombs.get(int(shard))
+                    new = grp.to_numpy(dtype=np.int64)
+                    tombs[int(shard)] = (
+                        np.union1d(old, new) if old is not None else new
+                    )
         self.bc_doclens = spark.sparkContext.broadcast({
             int(r["shard"]): (int(r["base"]), bytes(r["dl_bytes"]),
                               tombs.get(int(r["shard"])))
             for r in dl_rows
         })
 
+    def resolve_df(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term (summed over shards/generations) via one tiny
+        filtered-scan job for cache misses; absent terms resolve to 0."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.seg.filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            if len(self._df_cache) > 4_000_000:  # bound driver memory
+                self._df_cache.clear()
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
     def topk(self, query: str, k: int = 10, scorer: str = "auto") -> DataFrame:
         spark = self.spark
         terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
-        terms = [t for t in terms if t in self.df_map]
+        df_map = self.resolve_df(terms)
+        terms = [t for t in terms if df_map[t] > 0]
         if not terms:
             return spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
-        idf_map = {t: idf(n_docs, self.df_map[t]) for t in terms}
+        idf_map = {t: idf(n_docs, df_map[t]) for t in terms}
 
         if scorer == "auto":
-            # WAND's per-posting Python walk pays off when pruning can skip
-            # work: several terms, none of them scanning most of the corpus.
+            # the pruned scorer pays off when skipping can save work:
+            # several terms, none of them scanning most of the corpus.
             # Single-term or stopword-dominated queries score (nearly)
-            # every posting either way -> vectorized dense path wins.
-            hot = max(self.df_map[t] for t in terms) > 0.1 * n_docs
+            # every posting either way -> the dense accumulator wins.
+            hot = max(df_map[t] for t in terms) > 0.1 * n_docs
             scorer = "dense" if (len(terms) == 1 or hot) else "wand"
         scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
 
@@ -215,7 +268,10 @@ def _score_shard_dense(
             tfs.astype(np.float64), dl.astype(np.float64), avgdl
         )
     if deleted is not None and deleted.size:
-        acc[deleted - base] = 0.0  # tombstone mask
+        # tombstone mask; clip to the shard's populated range — a stale or
+        # bogus tombstone id must not crash every query on this shard
+        off = deleted - base
+        acc[off[(off >= 0) & (off < acc.shape[0])]] = 0.0
     nz = np.flatnonzero(acc)
     if nz.size == 0:
         return _empty_topk()
@@ -231,127 +287,87 @@ def _score_shard_wand(
     grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
     base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Block-max WAND within one shard (Broder et al. CIKM'03; Ding & Suel
-    SIGIR'11). Pruning is conservative around ties: candidates whose upper
-    bound EQUALS the heap threshold are still scored, so results are exact
-    under the (score desc, docID asc) order."""
+    """Vectorized block-max MaxScore within one shard (Turtle & Flood '95
+    term-at-a-time pruning with the block-derived bounds of Ding & Suel
+    SIGIR'11). Replaces the round-1 per-posting Python WAND walk — every
+    step here is a whole-array numpy operation:
+
+      1. per-term upper bound = max over blocks of ub(block_max_tf,
+         block_min_dl) — tighter than the global (max tf, min dl) pair;
+      2. terms processed in descending-bound order; each round scores the
+         docs containing the current term that were not seen before, with
+         EXACT full scores (one searchsorted per query term — vectorized
+         gather, no per-doc loop);
+      3. stop when sum of the remaining terms' bounds is strictly below
+         the current kth score: no unseen doc can reach the top-k. The
+         strict `<` keeps ties conservative — a candidate whose bound
+         EQUALS the threshold is still scored, so results are exact under
+         the (score desc, docID asc) order.
+
+    Exactness: every emitted score is a full sum over all query terms;
+    pruning only ever skips docs whose total is provably below (not equal
+    to) the kth score. Parity-tested against the exhaustive oracle.
+    """
     postings = _decode_group(grp, base)
     dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
     terms = [t for t in postings if postings[t][0].size > 0]
     if not terms:
         return _empty_topk()
 
-    # one block-metadata tuple per generation row; a doc's bound is the max
-    # over generations (merged postings keep the last generation's tf, but
-    # max-over-gens stays a valid upper bound)
-    blocks: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]] = {}
+    # per-term bound: max over generation rows & blocks (merged postings
+    # keep the last generation's tf; max-over-gens stays a valid bound)
+    ub: dict[str, float] = {}
     for row in grp.itertuples(index=False):
-        blocks.setdefault(row.term, []).append((
-            np.asarray(row.block_first, dtype=np.int64),
-            np.asarray(row.block_last, dtype=np.int64),
-            np.asarray(row.block_max_tf, dtype=np.int64),
-            np.asarray(row.block_min_dl, dtype=np.int64),
-        ))
-
-    cursors = {t: 0 for t in terms}
-    ub_term = {
-        t: bm25_upper_bound(
-            idf_map[t],
-            int(postings[t][1].max()),
-            min((int(b[3].min()) for b in blocks[t] if b[3].size), default=1),
-            avgdl,
-        )
-        for t in terms
-    }
-
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of current top-k
-
-    def cur_doc(t: str) -> int:
-        c = cursors[t]
-        d = postings[t][0]
-        return int(d[c]) if c < d.size else INF_DOC
-
-    while True:
-        live = sorted((t for t in terms if cursors[t] < postings[t][0].size), key=cur_doc)
-        if not live:
-            break
-        threshold = heap[0][0] if len(heap) >= k else -math.inf
-        ub_sum, pivot_idx = 0.0, -1
-        for i, t in enumerate(live):
-            ub_sum += ub_term[t]
-            if ub_sum >= threshold:
-                pivot_idx = i
-                break
-        if pivot_idx < 0:
-            break  # no doc can reach the threshold anymore
-        pivot_doc = cur_doc(live[pivot_idx])
-        if pivot_doc >= INF_DOC:
-            break
-        if cur_doc(live[0]) == pivot_doc:
-            # block-max refinement over EVERY term positioned at pivot_doc:
-            # terms after the pivot index can sit at the same doc and their
-            # contribution is real — omitting them under-estimates the
-            # bound and wrongly prunes (caught by the 500k-doc parity run)
-            upto = pivot_idx
-            while upto + 1 < len(live) and cur_doc(live[upto + 1]) == pivot_doc:
-                upto += 1
-            refined = sum(
-                _block_ub(t, pivot_doc, blocks, idf_map, avgdl)
-                for t in live[: upto + 1]
-            )
-            if len(heap) >= k and refined < threshold:
-                _advance_past(live[0], pivot_doc, postings, cursors)
-                continue
-            score = 0.0
-            dl = float(dl_arr[pivot_doc - base])
-            for t in live:
-                docs, tfs = postings[t]
-                c = cursors[t]
-                if c < docs.size and docs[c] == pivot_doc:
-                    score += idf_map[t] * bm25_tf_term(float(tfs[c]), dl, avgdl)
-                    cursors[t] = c + 1
-                elif cur_doc(t) > pivot_doc:
-                    break
-            if deleted is not None and deleted.size:
-                di = int(np.searchsorted(deleted, pivot_doc))
-                if di < deleted.size and deleted[di] == pivot_doc:
-                    continue  # tombstoned: cursors advanced, doc not ranked
-            item = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+        mt = np.asarray(row.block_max_tf, dtype=np.float64)
+        if mt.size:
+            md = np.asarray(row.block_min_dl, dtype=np.float64)
+            b = float(np.max(bm25_tf_term(mt, np.maximum(md, 1.0), avgdl)))
         else:
-            for t in live[:pivot_idx]:
-                _seek(t, pivot_doc, postings, cursors)
+            b = K1 + 1.0  # universal bound: tf-term < k1+1
+        b *= idf_map[row.term]
+        ub[row.term] = max(ub.get(row.term, 0.0), b)
 
-    rows = sorted(((s, -negd) for s, negd in heap), key=lambda x: (-x[0], x[1]))
+    order = sorted(terms, key=lambda t: (-ub[t], t))
+    ubs = np.array([ub[t] for t in order], dtype=np.float64)
+    # tail[i] = sum of bounds of terms after i (0 for the last)
+    tail = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
+
+    pool_docs = np.zeros(0, dtype=np.int64)     # unique, sorted
+    pool_scores = np.zeros(0, dtype=np.float64)
+    threshold = -math.inf
+    for i, t in enumerate(order):
+        cand = postings[t][0]
+        if pool_docs.size:
+            cand = cand[~np.isin(cand, pool_docs, assume_unique=True)]
+        if deleted is not None and deleted.size:
+            cand = cand[~np.isin(cand, deleted)]
+        if cand.size:
+            dl = dl_arr[cand - base].astype(np.float64)
+            sc = np.zeros(cand.size, dtype=np.float64)
+            for u in terms:  # exact score over ALL query terms
+                du, tu = postings[u]
+                pos = np.searchsorted(du, cand)
+                safe = np.minimum(pos, du.size - 1)
+                hit = (pos < du.size) & (du[safe] == cand)
+                if hit.any():
+                    sc[hit] += idf_map[u] * bm25_tf_term(
+                        tu[safe[hit]].astype(np.float64), dl[hit], avgdl
+                    )
+            pool_docs = np.concatenate((pool_docs, cand))
+            pool_scores = np.concatenate((pool_scores, sc))
+            o = np.argsort(pool_docs)
+            pool_docs, pool_scores = pool_docs[o], pool_scores[o]
+            if pool_docs.size >= k:
+                threshold = float(
+                    np.partition(pool_scores, pool_scores.size - k)[pool_scores.size - k]
+                )
+        if pool_docs.size >= k and tail[i] < threshold:
+            break  # remaining terms can't lift any unseen doc into the top-k
+
+    if pool_docs.size == 0:
+        return _empty_topk()
+    sel = np.lexsort((pool_docs, -pool_scores))[:k]
     return pd.DataFrame({
-        "doc_id": pd.Series([d for _, d in rows], dtype="int64"),
-        "score": pd.Series([s for s, _ in rows], dtype="float64"),
+        "doc_id": pool_docs[sel].astype("int64"),
+        "score": pool_scores[sel],
     })
-
-
-def _block_ub(t, doc, blocks, idf_map, avgdl) -> float:
-    """Upper bound of term t's contribution at doc: max over generations'
-    blocks containing doc; 0 if no block covers it (t can't match doc)."""
-    gens = blocks.get(t)
-    if not gens:
-        return idf_map[t] * (K1 + 1.0)  # universal bound: tf-term < k1+1
-    best = 0.0
-    for first, last, max_tf, min_dl in gens:
-        if first.size == 0:
-            continue
-        i = int(np.searchsorted(last, doc))
-        if i >= first.size or first[i] > doc:
-            continue
-        best = max(best, bm25_upper_bound(idf_map[t], int(max_tf[i]), int(min_dl[i]), avgdl))
-    return best
-
-
-def _seek(t, doc, postings, cursors) -> None:
-    cursors[t] = int(np.searchsorted(postings[t][0], doc, side="left"))
-
-
-def _advance_past(t, doc, postings, cursors) -> None:
-    cursors[t] = int(np.searchsorted(postings[t][0], doc, side="right"))

@@ -70,17 +70,43 @@ def shingle_rows(df: DataFrame, text: str = "text", key: str = "doc_id") -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.5, text: str = "text", key: str = "doc_id"
+    df: DataFrame,
+    threshold: float = 0.5,
+    text: str = "text",
+    key: str = "doc_id",
+    max_shingle_df: int | None = 100,
+    log_drops: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs sharing >=1 shingle.
+    """Exact n-gram Jaccard for candidate pairs sharing >=1 shingle,
+    with HOT-SHINGLE SUPPRESSION.
 
     |A ∩ B| from the shingle self-join; |A ∪ B| = |A| + |B| - |A ∩ B|.
     Join is shingle-partitioned (no cross product); a hot shingle's
-    fan-out is the classic skew point — at scale, drop top-frequency
-    shingles first (stopword-shingle suppression), same deferral idea as
-    the reference's oversized-doc isolation (api/mysql_store.py:841-865).
+    fan-out is the classic skew point: one stopword shingle present in d
+    docs produces O(d²) candidate rows. Shingles whose document frequency
+    exceeds ``max_shingle_df`` are therefore dropped BEFORE the self-join
+    (stopword-shingle suppression — the deferral-style skew isolation of
+    the reference's oversized-doc handling, api/mysql_store.py:841-865),
+    bounding per-shingle fan-out at max_shingle_df². Jaccard is then
+    computed over the SURVIVING shingle universe (sizes too), so engine
+    and oracle agree exactly. The cap is part of the operator's contract,
+    not a silent truncation: pass ``log_drops=True`` to print the number
+    of suppressed shingles, or ``max_shingle_df=None`` for the uncapped
+    exact computation.
     """
-    sh = shingle_rows(df, text, key).localCheckpoint(eager=True)
+    sh = shingle_rows(df, text, key)
+    if max_shingle_df is not None:
+        sdf = sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
+        hot = sdf.filter(F.col("_sdf") > max_shingle_df).select("shingle")
+        if log_drops:
+            n_hot = hot.count()
+            if n_hot:
+                print(
+                    f"ngram_jaccard_pairs: suppressed {n_hot} shingles with "
+                    f"df > {max_shingle_df} before the pair join"
+                )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

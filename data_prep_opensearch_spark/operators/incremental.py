@@ -55,26 +55,43 @@ def add_documents(
     doc_stats are dropped (unchanged re-sends — the fingerprint-gated skip,
     stages/enricher/utils.py:1152-1172). A changed file arrives as a new
     commit => a new key => a new docID; readers see both until a pruning
-    policy (e.g. latest-commit-per-(repo,path)) filters at query time.
+    policy (latest_doc_ids / BM25Engine(prune='latest')) filters at query
+    time.
+
+    Commit protocol (manifest.py): the delta's segments/doclens/stats go
+    to deterministic per-generation dirs (mode overwrite — a crashed add
+    re-runs idempotently, no duplicate appends), published by one atomic
+    manifest swap. Serialized by the per-index writer lock.
     """
+    from data_prep_opensearch_spark.operators import manifest as mf
+    from data_prep_opensearch_spark.operators.locks import index_lock
+
+    with index_lock(index_dir, purpose="add_documents"):
+        return _add_documents_locked(spark, index_dir, new_docs, mf)
+
+
+def _add_documents_locked(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame, mf
+) -> dict:
     meta = _load_meta(index_dir)
     n_shards = int(meta["n_shards"])
     gen = max(meta["generations"]) + 1
-    stats_dir = os.path.join(index_dir, "doc_stats")
-    seg_dir = os.path.join(index_dir, "segments")
-    dl_dir = os.path.join(index_dir, "doclens")
+    if mf.load_manifest(index_dir) is None:
+        mf.adopt_legacy(spark, index_dir)
 
-    existing = spark.read.parquet(stats_dir).select("repo", "path", "commit")
+    old_stats = mf.read_doc_stats(spark, index_dir)
+    existing = old_stats.select("repo", "path", "commit")
     fresh = new_docs.join(existing, ["repo", "path", "commit"], "left_anti")
 
-    # per-shard current population -> rank offsets for the new docs
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in spark.read.parquet(stats_dir)
-        .groupBy("shard").agg(F.count("*").alias("n")).collect()
+    # per-shard NEXT docID offset = max existing offset + 1 (NOT the row
+    # count: a vacuum leaves holes, and count-based allocation would hand
+    # a new doc a surviving doc's id)
+    offsets = {
+        int(r["shard"]): int(r["m"]) - int(r["shard"]) * SHARD_WIDTH + 1
+        for r in old_stats.groupBy("shard").agg(F.max("doc_id").alias("m")).collect()
     }
     offs = F.create_map(*[
-        x for s in range(n_shards) for x in (F.lit(s), F.lit(counts.get(s, 0)))
+        x for s in range(n_shards) for x in (F.lit(s), F.lit(offsets.get(s, 0)))
     ])
     keyed = fresh.withColumn(
         "key_hash", F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
@@ -94,43 +111,51 @@ def add_documents(
     ).parquet(staged_dir)
     run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
     kind0 = os.path.join(staged_dir, "kind=0")
+    kind1 = os.path.join(staged_dir, "kind=1")
     n_new = 0
+    seg_rel = f"seg_delta_g{gen}"
+    dl_rel = f"dl_delta_g{gen}"
+    stats_rel = f"staged/delta_gen={gen}/kind=1"
     if os.path.exists(kind0):
         runs = spark.read.parquet(kind0).select(*run_cols)
-        segments_from_runs(runs, gen=gen).write.mode("append").parquet(seg_dir)
-        # keep the same partition-column name as the base build's group=N
-        # dirs (mixed names break parquet partition discovery)
-        stats_target = os.path.join(stats_dir, f"group={10000 + gen}")
-        if os.path.exists(stats_target):
-            import shutil
-
-            shutil.rmtree(stats_target)
-        os.rename(os.path.join(staged_dir, "kind=1"), stats_target)
-        g_stats = spark.read.parquet(stats_target)
+        segments_from_runs(runs, gen=gen).write.mode("overwrite").parquet(
+            os.path.join(index_dir, seg_rel)
+        )
+    has_stats = os.path.exists(kind1)
+    if has_stats:
+        g_stats = spark.read.parquet(kind1)
         n_new = g_stats.count()
-        # doclen sidecar: re-encode affected shards over their FULL stats
-        # (dense ranks => the sidecar is position-indexed per shard)
-        shards_touched = [int(r["shard"]) for r in g_stats.select("shard").distinct().collect()]
-        all_stats = spark.read.parquet(stats_dir).filter(F.col("shard").isin(shards_touched))
-        new_dl = encode_doclens(all_stats)
-        old_dl = spark.read.parquet(dl_dir).filter(~F.col("shard").isin(shards_touched))
-        tmp_dl = dl_dir + ".tmp"
-        old_dl.unionByName(new_dl).write.mode("overwrite").parquet(tmp_dl)
-        import shutil
+        # doclen sidecar: re-encode ONLY the shards this delta touched,
+        # over their full (old + new) stats; the manifest's ordered
+        # doclens list makes the new entry override the old one per shard
+        shards_touched = [
+            int(r["shard"]) for r in g_stats.select("shard").distinct().collect()
+        ]
+        all_stats = old_stats.filter(F.col("shard").isin(shards_touched)).select(
+            *g_stats.columns
+        ).unionByName(g_stats)
+        encode_doclens(all_stats).write.mode("overwrite").parquet(
+            os.path.join(index_dir, dl_rel)
+        )
 
-        old = dl_dir + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.replace(dl_dir, old)
-        os.replace(tmp_dl, dl_dir)
-        shutil.rmtree(old)
+    def _mut(m):
+        if os.path.exists(kind0):
+            mf.add_segment_entry(m, seg_rel, [gen])
+        if has_stats:
+            mf.add_unique(m["doclens"], dl_rel)
+            mf.add_unique(m["doc_stats"], stats_rel)
+    mf.update_manifest(index_dir, _mut)
+    import shutil
+
+    shutil.rmtree(kind0, ignore_errors=True)
 
     # refresh global stats + lineage
-    stats = spark.read.parquet(stats_dir)
+    stats = mf.read_doc_stats(spark, index_dir)
     agg = stats.select(F.count("*").alias("n"), F.avg("doclen").alias("a")).collect()[0]
     meta["n_docs"] = int(agg["n"])
     meta["avgdl"] = float(agg["a"])
-    meta["generations"] = sorted(set(meta["generations"]) | {gen})
+    if n_new > 0:  # an all-skipped delta must not mint a phantom generation
+        meta["generations"] = sorted(set(meta["generations"]) | {gen})
     _save_meta(index_dir, meta)
     lineage = spark.createDataFrame(
         [("add_documents", -1, gen, n_new, 0,
@@ -139,6 +164,28 @@ def add_documents(
     )
     lineage.write.mode("append").parquet(os.path.join(index_dir, "lineage"))
     return {"generation": gen, "docs_added": n_new, "n_docs": meta["n_docs"]}
+
+
+def superseded_doc_ids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Query-time latest-version pruning policy (SURVEY.md §2.10; the
+    reference's latest-pointer resolve, pipeline/io.py:36-76, applied per
+    document key): for each (repo, path), every version OTHER than the one
+    from the highest generation (ties by highest docID) is superseded.
+    Returns their doc_ids. Superseded docs are masked from results exactly
+    like tombstones — corpus statistics (N, avgdl, df) still count them
+    until a delete+merge physically retires them; that masking semantics
+    is what the paired oracle checks."""
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats_with_gen
+
+    stats = read_doc_stats_with_gen(spark, index_dir)
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.desc("_gen"), F.desc("doc_id")
+    )
+    return (
+        stats.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+    )
 
 
 def delete_documents(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> int:

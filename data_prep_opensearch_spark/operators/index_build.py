@@ -524,18 +524,27 @@ def doc_stats_map(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
 
 
 def encode_doclens(doc_stats: DataFrame) -> DataFrame:
-    """Per-shard dense doclen sidecar: dl_bytes = VByte of dl[rank] for the
-    shard's contiguous docID range."""
+    """Per-shard positional doclen sidecar: dl_bytes = VByte of dl at
+    offset (doc_id - base), scatter-written so the encoding stays correct
+    when a vacuum has punched holes in the docID space (holes encode 0 —
+    no posting references them). Guards shard population: a shard past
+    SHARD_WIDTH would silently bleed docIDs into its neighbour's range."""
     def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
         shard = int(key[0])
         base = shard * SHARD_WIDTH
-        dls = pdf["doclen"].to_numpy(dtype=np.int64)
+        offs = pdf["doc_id"].to_numpy(dtype=np.int64) - base
+        if offs.size and (int(offs.max()) >= SHARD_WIDTH or int(offs.min()) < 0):
+            raise ValueError(
+                f"shard {shard} docIDs overflow SHARD_WIDTH={SHARD_WIDTH} "
+                f"(max offset {int(offs.max())}): increase n_shards"
+            )
+        arr = np.zeros(int(offs.max()) + 1 if offs.size else 0, dtype=np.int64)
+        arr[offs] = pdf["doclen"].to_numpy(dtype=np.int64)
         return pd.DataFrame({
             "shard": [shard],
             "base": [base],
             "n_docs": [len(pdf)],
-            "dl_bytes": [vbyte_encode(dls.astype(np.uint64))],
+            "dl_bytes": [vbyte_encode(arr.astype(np.uint64))],
         })
 
     return doc_stats.groupBy("shard").applyInPandas(enc, DOCLEN_SCHEMA)
@@ -567,11 +576,36 @@ def build_index(
     ``stop_after_groups`` simulates a mid-build kill for the resume test
     (FIXTURES.md §F6). Returns the meta dict (also persisted to meta.json
     once ALL groups are complete).
+
+    Commit protocol (manifest.py): each group's segments/doclens go to
+    deterministic per-group dirs written with mode("overwrite"), then the
+    manifest is published, then the lineage row — so a crash anywhere in
+    the window re-runs the group IDEMPOTENTLY (no duplicate appends; the
+    round-1 df-doubling window is closed). Writers are serialized by the
+    per-index lock (locks.py; reference pipeline/locks.py:35-121).
     """
+    from data_prep_opensearch_spark.operators.locks import index_lock
+
+    with index_lock(index_dir, purpose="build_index"):
+        return _build_index_locked(
+            spark, source, index_dir, n_shards, tokenizer, n_groups,
+            resume, stop_after_groups,
+        )
+
+
+def _build_index_locked(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    n_shards: int,
+    tokenizer: str,
+    n_groups: int,
+    resume: bool,
+    stop_after_groups: int | None,
+) -> dict:
+    from data_prep_opensearch_spark.operators import manifest as mf
+
     os.makedirs(index_dir, exist_ok=True)
-    seg_dir = os.path.join(index_dir, "segments")
-    dl_dir = os.path.join(index_dir, "doclens")
-    stats_dir = os.path.join(index_dir, "doc_stats")
     lineage_dir = os.path.join(index_dir, "lineage")
 
     docs = assign_doc_ids(source, n_shards)
@@ -613,49 +647,68 @@ def build_index(
         # (map-side combine: the (term, shard) shuffle then moves ~vocab ×
         # partitions small binary rows, not one row per posting — measured
         # 20M rows -> 0.6M rows at 240k docs). partitionBy("kind") splits
-        # the two row kinds into separate parquet dirs in the SAME job, so
-        # doc_stats needs no second write: its partition is renamed into
-        # place (an atomic-publish move, pipeline/io.py:28-33 pattern).
+        # the two row kinds into separate parquet dirs in the SAME job;
+        # the kind=1 (doc stats) partition is then simply REFERENCED from
+        # the manifest — no rename, no second write.
         runs_dir = os.path.join(index_dir, "staged", f"group={g}")
         map_runs_and_stats(gdocs, tokenizer).write.partitionBy("kind").mode(
             "overwrite"
         ).parquet(runs_dir)
         run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
-        runs = spark.read.parquet(os.path.join(runs_dir, "kind=0")).select(*run_cols)
-        segments_from_runs(runs, gen=0).write.mode("append").parquet(seg_dir)
-        os.makedirs(stats_dir, exist_ok=True)
-        stats_target = os.path.join(stats_dir, f"group={g}")
-        if os.path.exists(stats_target):  # re-run of an interrupted group
-            import shutil
+        kind0 = os.path.join(runs_dir, "kind=0")
+        kind1 = os.path.join(runs_dir, "kind=1")
+        seg_rel, dl_rel = f"seg_b0_g{g}", f"dl_b0_g{g}"
+        stats_rel = f"staged/group={g}/kind=1"
+        # a group can be empty (n_docs < n_shards, or empty shards): guard
+        # both kinds and still commit the lineage row so resume skips it
+        has_runs, has_stats = os.path.exists(kind0), os.path.exists(kind1)
+        if has_runs:
+            runs = spark.read.parquet(kind0).select(*run_cols)
+            segments_from_runs(runs, gen=0).write.mode("overwrite").parquet(
+                os.path.join(index_dir, seg_rel)
+            )
+        n_docs, n_postings, fp = 0, 0, 0
+        if has_stats:
+            g_stats = spark.read.parquet(kind1)
+            encode_doclens(g_stats).write.mode("overwrite").parquet(
+                os.path.join(index_dir, dl_rel)
+            )
+            # group identity + counters from the staged stats (one tiny
+            # column scan) — sha256 is the content identity, so this is the
+            # order-independent corpus fingerprint WITHOUT a second full
+            # pass over content (idempotent-export identity pattern,
+            # api/control_plane.py:698-704)
+            agg_row = g_stats.select(
+                F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
+                F.count("*").alias("n"),
+                F.sum("n_terms").alias("s"),
+            ).collect()[0]
+            n_docs = int(agg_row["n"])
+            fp = int(agg_row["fp"] or 0) ^ n_docs
+            n_postings = int(agg_row["s"] or 0)
 
-            shutil.rmtree(stats_target)
-        os.rename(os.path.join(runs_dir, "kind=1"), stats_target)
-        g_stats = spark.read.parquet(os.path.join(stats_dir, f"group={g}"))
-        encode_doclens(g_stats).write.mode("append").parquet(dl_dir)
-        # group identity + counters from the staged stats (one tiny column
-        # scan) — sha256 is the content identity, so this is the same
-        # order-independent corpus fingerprint WITHOUT a second full pass
-        # over the content (idempotent-export identity pattern,
-        # api/control_plane.py:698-704)
-        agg_row = g_stats.select(
-            F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
-            F.count("*").alias("n"),
-            F.sum("n_terms").alias("s"),
-        ).collect()[0]
-        n_docs = int(agg_row["n"])
-        fp = int(agg_row["fp"] or 0) ^ n_docs
-        n_postings = int(agg_row["s"] or 0)
+        # publish BEFORE the lineage row: a crash in between re-runs the
+        # group, overwrites the same dirs, republishes the same entries
+        def _mut(m, _seg=seg_rel, _dl=dl_rel, _st=stats_rel,
+                 _runs=has_runs, _stats=has_stats):
+            if _runs:
+                mf.add_segment_entry(m, _seg, [0])
+            if _stats:
+                mf.add_unique(m["doclens"], _dl)
+                mf.add_unique(m["doc_stats"], _st)
+        mf.update_manifest(index_dir, _mut)
+
         wall = int((time.monotonic() - t0) * 1000)
         lineage = spark.createDataFrame(
             [("postings", g, 0, n_docs, n_postings, fp, wall, "complete")],
             LINEAGE_SCHEMA,
         )
         lineage.write.mode("append").parquet(lineage_dir)
-        # staging runs served their purpose once the group's lineage row is
-        # committed; a re-run of an incomplete group overwrites them anyway
+        # posting runs served their purpose; the kind=1 stats stay (the
+        # manifest references them in place)
         import shutil
 
-        shutil.rmtree(runs_dir, ignore_errors=True)
+        shutil.rmtree(kind0, ignore_errors=True)
 
     spark.conf.set(coalesce_key, prev_coalesce)
 
@@ -664,13 +717,20 @@ def build_index(
 
     # finalize: global stats -> meta.json (atomic tmp+rename — the
     # reference's atomic_write_json, pipeline/io.py:28-33)
-    stats = spark.read.parquet(stats_dir)
-    agg = stats.select(
-        F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
-    ).collect()[0]
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+
+    man = mf.load_manifest(index_dir)
+    if man and man["doc_stats"]:
+        stats = read_doc_stats(spark, index_dir)
+        agg = stats.select(
+            F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        total_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
+    else:  # fully empty corpus
+        total_docs, avgdl = 0, 0.0
     meta = {
-        "n_docs": int(agg["n"]),
-        "avgdl": float(agg["avgdl"]),
+        "n_docs": total_docs,
+        "avgdl": avgdl,
         "n_shards": n_shards,
         "shard_width": SHARD_WIDTH,
         "tokenizer": tokenizer,
@@ -689,26 +749,32 @@ def sort_segments(spark: SparkSession, index_dir: str, n_files: int | None = Non
     each parquet file covers a narrow term range — query-time ``term IN``
     filters then prune whole files/row-groups via min/max stats (the scan-
     pruning X2/X3 of SURVEY.md §4, applied to our own index layout).
-    Logical content is unchanged (index_fingerprint invariant)."""
-    import shutil
+    Logical content is unchanged (index_fingerprint invariant).
 
-    seg_dir = os.path.join(index_dir, "segments")
-    if n_files is None:
-        n_files = spark.sparkContext.defaultParallelism * 2
-    seg = spark.read.parquet(seg_dir)
-    tmp = seg_dir + ".tmp"
-    (
-        seg.repartitionByRange(n_files, "term", "shard")
-        .sortWithinPartitions("term", "shard", "gen")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    old = seg_dir + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.replace(seg_dir, old)
-    os.replace(tmp, seg_dir)
-    shutil.rmtree(old)
+    Commit = write a NEW sorted dir, swap the manifest pointer (one
+    small-file atomic replace — object-store safe), GC the old dirs."""
+    from data_prep_opensearch_spark.operators import manifest as mf
+    from data_prep_opensearch_spark.operators.locks import index_lock
+
+    with index_lock(index_dir, purpose="sort_segments"):
+        m = mf.load_manifest(index_dir) or mf.adopt_legacy(spark, index_dir)
+        if n_files is None:
+            n_files = spark.sparkContext.defaultParallelism * 2
+        seg = mf.read_segments(spark, index_dir)
+        gens = mf.live_gens(m)
+        rel = f"seg_sorted_v{int(m.get('version', 0)) + 1}"
+        (
+            seg.repartitionByRange(n_files, "term", "shard")
+            .sortWithinPartitions("term", "shard", "gen")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, rel))
+        )
+        old_rels = [e["path"] for e in m["segments"] if e["path"] != rel]
+
+        def _mut(mm):
+            mm["segments"] = [{"path": rel, "gens": gens}]
+        mf.update_manifest(index_dir, _mut)
+        mf.gc_paths(index_dir, old_rels)
 
 
 def index_fingerprint(spark: SparkSession, index_dir: str) -> int:
@@ -718,12 +784,13 @@ def index_fingerprint(spark: SparkSession, index_dir: str) -> int:
     identical retrievable index, regardless of segment layout."""
     import hashlib
 
+    from data_prep_opensearch_spark.operators.manifest import read_segments
     from data_prep_opensearch_spark.operators.postings import (
         decode_posting_list,
         merge_posting_runs,
     )
 
-    seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+    seg = read_segments(spark, index_dir)
 
     out_schema = T.StructType([T.StructField("fp", T.LongType(), False)])
 

@@ -1,0 +1,206 @@
+"""Manifest-pointer commits for the on-disk index layout.
+
+The round-1 layout published changes with whole-directory ``os.replace``
+swaps (segments.tmp -> segments). That is atomic on one POSIX filesystem
+and NOWHERE else — object stores have no atomic directory rename. This
+module replaces every directory swap with the pattern the reference uses
+for its latest-pointer (pipeline/io.py:36-76 resolve-latest +
+io.py:28-33 atomic_write_json): writers append NEW immutable parquet
+directories, then commit by atomically rewriting ONE small JSON file
+(``manifest.json``) that lists the live directories. A single small-file
+replace is a PUT on object storage — the only atomic primitive needed.
+
+Manifest format (all paths relative to index_dir):
+
+    {
+      "version": 3,
+      "segments": [{"path": "seg_b0_g0", "gens": [0]}, ...],
+      "doclens":  ["dl_b0_g0", "dl_delta_g1", ...],
+      "doc_stats": ["staged/group=0/kind=1", ...]
+    }
+
+Semantics:
+  - ``segments``: union of all listed dirs is the live segment table;
+    ``gens`` records which posting generations a dir holds so the
+    log-structured merge can retire exactly the dirs it consumed.
+  - ``doclens``: ordered; a LATER entry overrides an EARLIER one per
+    shard (delta adds re-encode only the shards they touched).
+  - ``doc_stats``: unioned; vacuum replaces the whole list.
+
+Writers that re-run after a crash write to the SAME deterministic dir
+name with mode("overwrite") and re-publish the same manifest entry —
+commits are idempotent (the duplicate-append window flagged in round 1
+is closed). Consumed dirs are deleted only AFTER the manifest swap;
+on shared storage a reader holding the old manifest can still finish —
+production would delay that GC by a read-timeout, noted where it happens.
+
+Fallback: an index_dir with no manifest.json (hand-built test fixtures)
+is read via the legacy flat directories (segments/, doclens/,
+doc_stats/); ``adopt_legacy`` converts one in place so merge/sort/add
+can manage it through the manifest path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+MANIFEST = "manifest.json"
+
+
+def load_manifest(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_manifest(index_dir: str, m: dict) -> None:
+    tmp = os.path.join(index_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=2)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST))  # single-file atomic
+
+
+def new_manifest() -> dict:
+    return {"version": 0, "segments": [], "doclens": [], "doc_stats": []}
+
+
+def update_manifest(index_dir: str, mutate) -> dict:
+    """Read-modify-publish under the single-writer lock (locks.py)."""
+    m = load_manifest(index_dir) or new_manifest()
+    mutate(m)
+    m["version"] = int(m.get("version", 0)) + 1
+    save_manifest(index_dir, m)
+    return m
+
+
+def add_segment_entry(m: dict, rel: str, gens: list[int]) -> None:
+    for e in m["segments"]:
+        if e["path"] == rel:
+            e["gens"] = sorted(set(e["gens"]) | set(gens))
+            return
+    m["segments"].append({"path": rel, "gens": sorted(gens)})
+
+
+def add_unique(lst: list[str], rel: str) -> None:
+    if rel not in lst:
+        lst.append(rel)
+
+
+def adopt_legacy(spark: SparkSession, index_dir: str) -> dict:
+    """Wrap a legacy flat-directory index in a manifest (in place)."""
+    m = new_manifest()
+    seg_dir = os.path.join(index_dir, "segments")
+    if os.path.exists(seg_dir):
+        gens = sorted(
+            int(r["gen"])
+            for r in spark.read.parquet(seg_dir).select("gen").distinct().collect()
+        )
+        m["segments"].append({"path": "segments", "gens": gens})
+    if os.path.exists(os.path.join(index_dir, "doclens")):
+        m["doclens"].append("doclens")
+    if os.path.exists(os.path.join(index_dir, "doc_stats")):
+        m["doc_stats"].append("doc_stats")
+    save_manifest(index_dir, m)
+    return m
+
+
+def _abs(index_dir: str, rel: str) -> str:
+    return os.path.join(index_dir, rel)
+
+
+def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    m = load_manifest(index_dir)
+    if m is None:
+        return spark.read.parquet(os.path.join(index_dir, "segments"))
+    paths = [_abs(index_dir, e["path"]) for e in m["segments"]]
+    if not paths:
+        raise FileNotFoundError(f"no live segments in {index_dir}/{MANIFEST}")
+    return spark.read.parquet(*paths)
+
+
+def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Union of live doc_stats dirs; per-path reads + unionByName so dirs
+    written at different times (e.g. a vacuumed dir carrying _gen next to
+    fresh delta dirs without it) merge safely."""
+    m = load_manifest(index_dir)
+    if m is None:
+        return spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    if not m["doc_stats"]:
+        raise FileNotFoundError(f"no live doc_stats in {index_dir}/{MANIFEST}")
+    parts = [spark.read.parquet(_abs(index_dir, p)) for p in m["doc_stats"]]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p, allowMissingColumns=True)
+    return df
+
+
+_DELTA_GEN = re.compile(r"delta_gen=(\d+)")
+
+
+def read_doc_stats_with_gen(spark: SparkSession, index_dir: str) -> DataFrame:
+    """doc_stats with a ``_gen`` column = the posting generation each row
+    was indexed in (0 for the base build). The generation is recovered
+    from the manifest entry's path (staged/delta_gen=K/kind=1); a
+    vacuumed dir already carries ``_gen`` as a real column and keeps it.
+    Used by the latest-version pruning policy (superseded_doc_ids)."""
+    m = load_manifest(index_dir)
+    if m is None:
+        df = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+        return df if "_gen" in df.columns else df.withColumn("_gen", F.lit(0))
+    if not m["doc_stats"]:
+        raise FileNotFoundError(f"no live doc_stats in {index_dir}/{MANIFEST}")
+    parts = []
+    for p in m["doc_stats"]:
+        df = spark.read.parquet(_abs(index_dir, p))
+        if "_gen" not in df.columns:
+            mm = _DELTA_GEN.search(p)
+            df = df.withColumn("_gen", F.lit(int(mm.group(1)) if mm else 0))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def read_doclens(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Live per-shard doclen sidecar: later manifest entries override
+    earlier ones per shard (delta adds re-encode touched shards only)."""
+    m = load_manifest(index_dir)
+    if m is None:
+        return spark.read.parquet(os.path.join(index_dir, "doclens"))
+    if not m["doclens"]:
+        raise FileNotFoundError(f"no live doclens in {index_dir}/{MANIFEST}")
+    parts = [
+        spark.read.parquet(_abs(index_dir, p)).withColumn("_ord", F.lit(i))
+        for i, p in enumerate(m["doclens"])
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    w = Window.partitionBy("shard").orderBy(F.desc("_ord"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_ord")
+    )
+
+
+def live_gens(m: dict) -> list[int]:
+    out: set[int] = set()
+    for e in m["segments"]:
+        out |= set(e["gens"])
+    return sorted(out)
+
+
+def gc_paths(index_dir: str, rels: list[str]) -> None:
+    """Best-effort removal of retired dirs. Single-writer today; at
+    cluster scale this runs after a reader-visibility delay instead."""
+    for rel in rels:
+        shutil.rmtree(_abs(index_dir, rel), ignore_errors=True)

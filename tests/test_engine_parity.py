@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_prep_opensearch_spark.operators.bm25 import query_topk
+from data_prep_opensearch_spark.operators.manifest import read_doc_stats, read_segments
 from data_prep_opensearch_spark.oracle import reference_query_set
 
 
@@ -34,7 +35,7 @@ def test_sha256_invariant(spark, built_index):
     from data_prep_opensearch_spark.sources.corpus import corpus_df
 
     d, _ = built_index
-    stats = spark.read.parquet(os.path.join(d, "doc_stats"))
+    stats = read_doc_stats(spark, d)
     src = corpus_df(spark, 300).withColumn("src_sha", F.sha2(F.col("content"), 256))
     joined = stats.join(src, ["repo", "path", "commit"], "inner")
     assert joined.count() == 300
@@ -44,11 +45,11 @@ def test_sha256_invariant(spark, built_index):
 def test_doclen_and_df_reconcile(spark, built_index, oracle_index):
     """Σ tf per doc == doclen; Σ df over segments == Σ oracle df."""
     d, _ = built_index
-    seg = spark.read.parquet(os.path.join(d, "segments"))
+    seg = read_segments(spark, d)
     total_df = seg.agg(F.sum("df")).collect()[0][0]
     assert total_df == sum(oracle_index.df.values())
     total_cf = seg.agg(F.sum("cf")).collect()[0][0]
-    stats = spark.read.parquet(os.path.join(d, "doc_stats"))
+    stats = read_doc_stats(spark, d)
     assert total_cf == stats.agg(F.sum("doclen")).collect()[0][0]
 
 

@@ -14,6 +14,7 @@ from data_prep_opensearch_spark.operators.incremental import (
     load_tombstones,
 )
 from data_prep_opensearch_spark.operators.index_build import build_index, index_fingerprint
+from data_prep_opensearch_spark.operators.manifest import read_segments
 from data_prep_opensearch_spark.operators.segment_merge import merge_segments
 from data_prep_opensearch_spark.sources.corpus import corpus_df
 
@@ -71,5 +72,5 @@ def test_delete_documents_masked_and_purged(spark, tmp_root):
     eng3 = BM25Engine(spark, idx, cache=False)
     final = [r["doc_id"] for r in eng3.topk("needle0", 10).collect()]
     assert not set(final) & set(before)
-    seg = spark.read.parquet(os.path.join(idx, "segments"))
+    seg = read_segments(spark, idx)
     assert seg.filter(F.col("term") == "needle0").count() == 0 or True  # postings may remain for other docs

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from data_prep_opensearch_spark.operators.bm25 import query_topk
 from data_prep_opensearch_spark.operators.index_build import build_index, index_fingerprint
+from data_prep_opensearch_spark.operators.manifest import read_segments
 from data_prep_opensearch_spark.operators.segment_merge import merge_segments
 from data_prep_opensearch_spark.sources.corpus import corpus_df
 
@@ -67,7 +68,7 @@ def test_incremental_build_then_merge_equals_single_shot(spark, tmp_root):
     assert len(out["generations"]) == 1
     # byte-level now: exactly one row per (term, shard), same logical fp
     assert index_fingerprint(spark, inc) == fp_one
-    seg = spark.read.parquet(os.path.join(inc, "segments"))
+    seg = read_segments(spark, inc)
     assert seg.groupBy("term", "shard").count().filter("count > 1").count() == 0
     # and queries agree end-to-end
     r1 = [(r["doc_id"], round(r["score"], 9)) for r in

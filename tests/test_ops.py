@@ -41,6 +41,11 @@ def test_normalize_date():
     assert normalize_date_py("13th Dec 1988") == "1988-12-13"
     assert normalize_date_py("03/04/2005") == "2005-04-03"  # day-first
     assert normalize_date_py("2020-05-17T23:30:00+02:00") == "2020-05-17"
+    # tz-aware -> UTC calendar date crosses midnight (reference example)
+    assert normalize_date_py("2024-03-01T23:30:00-02:00") == "2024-03-02"
+    assert normalize_date_py("13, Dec, 1988") == "1988-12-13"  # comma tolerance
+    # ISO-looking input must NOT flip under day-first parsing
+    assert normalize_date_py("2026-02-10T00:00:00") == "2026-02-10"
     assert normalize_date_py("garbage") is None
 
 
