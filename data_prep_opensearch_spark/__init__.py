@@ -21,6 +21,6 @@ everything here is a fresh Spark design. Reference citations in
 docstrings are behavioral parity notes only.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from data_prep_opensearch_spark.session import get_spark  # noqa: F401

@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_prep_opensearch_spark.operators.index_build import (
-    LINEAGE_SCHEMA,
     SHARD_WIDTH,
     encode_doclens,
     map_runs_and_stats,
@@ -157,12 +156,13 @@ def _add_documents_locked(
     if n_new > 0:  # an all-skipped delta must not mint a phantom generation
         meta["generations"] = sorted(set(meta["generations"]) | {gen})
     _save_meta(index_dir, meta)
-    lineage = spark.createDataFrame(
-        [("add_documents", -1, gen, n_new, 0,
-          0, int((time.monotonic() - t0) * 1000), "complete")],
-        LINEAGE_SCHEMA,
+    from data_prep_opensearch_spark.operators.index_build import append_lineage_row
+
+    append_lineage_row(
+        index_dir,
+        ("add_documents", -1, gen, n_new, 0, 0,
+         int((time.monotonic() - t0) * 1000), "complete"),
     )
-    lineage.write.mode("append").parquet(os.path.join(index_dir, "lineage"))
     return {"generation": gen, "docs_added": n_new, "n_docs": meta["n_docs"]}
 
 

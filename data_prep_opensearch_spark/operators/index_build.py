@@ -69,6 +69,10 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("block_last", T.ArrayType(T.LongType()), False),
     T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
     T.StructField("block_min_dl", T.ArrayType(T.IntegerType()), False),
+    # per-block byte offsets into doc_bytes/tf_bytes: block-level lazy
+    # decode at query time (decode ONLY the blocks a candidate set needs)
+    T.StructField("block_doc_off", T.ArrayType(T.LongType()), False),
+    T.StructField("block_tf_off", T.ArrayType(T.LongType()), False),
 ])
 
 DOCLEN_SCHEMA = T.StructType([
@@ -88,6 +92,34 @@ LINEAGE_SCHEMA = T.StructType([
     T.StructField("wall_ms", T.LongType(), False),
     T.StructField("status", T.StringType(), False),
 ])
+
+
+def append_lineage_row(index_dir: str, row: tuple) -> None:
+    """Append ONE lineage row as a driver-side pyarrow parquet file —
+    spark.read.parquet reads the directory fine, and a single-row Spark
+    job costs ~1s of driver round-trip per commit group, which is pure
+    serial time in the build's critical path (it showed up directly in
+    the N-vs-4N scaling measurement)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lineage_dir = os.path.join(index_dir, "lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    names = [f.name for f in LINEAGE_SCHEMA.fields]
+    arrays = []
+    for (name, val) in zip(names, row):
+        if name in ("phase", "status"):
+            arrays.append(pa.array([val], type=pa.string()))
+        elif name in ("group_id", "gen"):
+            arrays.append(pa.array([int(val)], type=pa.int32()))
+        else:
+            arrays.append(pa.array([int(val)], type=pa.int64()))
+    table = pa.Table.from_arrays(arrays, names=names)
+    tmp = os.path.join(lineage_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(lineage_dir, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def assign_doc_ids(df: DataFrame, n_shards: int) -> DataFrame:
@@ -202,6 +234,54 @@ def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
         codes = enc.indices.to_numpy().astype(np.int64)
         uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         lens = np.bincount(row_idx, minlength=ndocs).astype(np.int64)
+    elif tokenizer == "code":
+        # PURE ARROW C++ identifier-splitting tokenizer (ROADMAP round-1
+        # #4 closed): whole lowered identifiers + camelCase/snake_case
+        # sub-tokens, matching functions.tokenize.tokenize_code as a
+        # per-document MULTISET (order differs; tf/dl aggregation is
+        # order-insensitive). Property-tested against the python function
+        # in tests/test_tokenize.py.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(pdf["content"], type=pa.string())
+        idents_l = pc.split_pattern_regex(arr, "[^A-Za-z0-9_]+")
+        flat = pc.list_flatten(idents_l)
+        parent = pc.list_parent_indices(idents_l)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        row_w = parent.filter(mask).to_numpy().astype(np.int64)
+        if len(flat) == 0:
+            z = np.zeros(0, np.int64)
+            return _FlatPostings(z, np.array([], dtype=object), z, z, z, z,
+                                 np.zeros(ndocs, np.int64), np.zeros(ndocs, np.int64))
+        whole = pc.utf8_lower(flat)
+        # camel boundaries -> '_' separators, then split like snake_case
+        marked = pc.replace_substring_regex(flat, r"([a-z0-9])([A-Z])", r"\1_\2")
+        # acronym boundary: digits count like lowercase (CAMEL_RE's
+        # lookahead is [A-Z][a-z0-9]) — 'XX0' splits as x + x0
+        marked = pc.replace_substring_regex(marked, r"([A-Z]+)([A-Z][a-z0-9])", r"\1_\2")
+        subs_l = pc.split_pattern(pc.utf8_lower(marked), "_")
+        sub_flat = pc.list_flatten(subs_l)
+        sub_parent = pc.list_parent_indices(subs_l)
+        sub_mask = pc.not_equal(sub_flat, "")
+        sub_flat = sub_flat.filter(sub_mask)
+        sub_parent = sub_parent.filter(sub_mask).to_numpy().astype(np.int64)
+        # an identifier contributes sub-tokens only when it splits (>1)
+        pieces_per_ident = np.bincount(sub_parent, minlength=len(flat))
+        keep = pieces_per_ident > 1
+        sub_sel = keep[sub_parent]
+        sub_tokens = sub_flat.filter(pa.array(sub_sel))
+        row_s = row_w[sub_parent[sub_sel]]
+        combined = pa.chunked_array([whole, sub_tokens]).combine_chunks()
+        row_idx = np.concatenate((row_w, row_s))
+        enc = pc.dictionary_encode(combined)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        lens = np.bincount(row_idx, minlength=ndocs).astype(np.int64)
+        # (the shared lexsort below re-groups by row; no pre-sort needed)
     else:
         from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
 
@@ -305,6 +385,11 @@ def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> 
     blast = docs[bend - 1]
     bmax_tf = np.maximum.reduceat(tfs, bstart).astype(np.int32)
     bmin_dl = np.minimum.reduceat(dls, bstart).astype(np.int32)
+    # per-block byte offsets, relative to each group's byte slice
+    doc_cum = np.concatenate(([0], np.cumsum(doc_nb)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_nb)))
+    bdoc_off = doc_cum[bstart] - np.repeat(dbo[:-1], nblocks)
+    btf_off = tf_cum[bstart] - np.repeat(tbo[:-1], nblocks)
     bpairs = list(zip(boff[:-1], boff[1:]))
     return pd.DataFrame({
         "term": g_terms,
@@ -318,6 +403,8 @@ def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> 
         "block_last": [blast[a:b] for a, b in bpairs],
         "block_max_tf": [bmax_tf[a:b] for a, b in bpairs],
         "block_min_dl": [bmin_dl[a:b] for a, b in bpairs],
+        "block_doc_off": [bdoc_off[a:b] for a, b in bpairs],
+        "block_tf_off": [btf_off[a:b] for a, b in bpairs],
     })
 
 
@@ -631,6 +718,7 @@ def _build_index_locked(
     todo = [g for g in range(n_groups) if g not in done_groups]
     if stop_after_groups is not None:
         todo = todo[:stop_after_groups]
+    group_totals: list[tuple[int, int]] = []  # (n_docs, sum_doclen) per group
 
     # AQE partition coalescing optimizes JVM-relational stages but merges
     # the docID-window output into few, UNEVEN partitions — and for the
@@ -677,15 +765,18 @@ def _build_index_locked(
             # column scan) — sha256 is the content identity, so this is the
             # order-independent corpus fingerprint WITHOUT a second full
             # pass over content (idempotent-export identity pattern,
-            # api/control_plane.py:698-704)
+            # api/control_plane.py:698-704). sum(doclen) rides along so the
+            # finalize stats need NO extra job on a fresh build.
             agg_row = g_stats.select(
                 F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
                 F.count("*").alias("n"),
                 F.sum("n_terms").alias("s"),
+                F.sum("doclen").alias("dl"),
             ).collect()[0]
             n_docs = int(agg_row["n"])
             fp = int(agg_row["fp"] or 0) ^ n_docs
             n_postings = int(agg_row["s"] or 0)
+            group_totals.append((n_docs, int(agg_row["dl"] or 0)))
 
         # publish BEFORE the lineage row: a crash in between re-runs the
         # group, overwrites the same dirs, republishes the same entries
@@ -699,11 +790,9 @@ def _build_index_locked(
         mf.update_manifest(index_dir, _mut)
 
         wall = int((time.monotonic() - t0) * 1000)
-        lineage = spark.createDataFrame(
-            [("postings", g, 0, n_docs, n_postings, fp, wall, "complete")],
-            LINEAGE_SCHEMA,
+        append_lineage_row(
+            index_dir, ("postings", g, 0, n_docs, n_postings, fp, wall, "complete")
         )
-        lineage.write.mode("append").parquet(lineage_dir)
         # posting runs served their purpose; the kind=1 stats stay (the
         # manifest references them in place)
         import shutil
@@ -716,18 +805,25 @@ def _build_index_locked(
         return {"status": "interrupted", "groups_done": sorted(done_groups | set(todo))}
 
     # finalize: global stats -> meta.json (atomic tmp+rename — the
-    # reference's atomic_write_json, pipeline/io.py:28-33)
+    # reference's atomic_write_json, pipeline/io.py:28-33). A fresh build
+    # already has every group's (n, Σdoclen) from its commit agg — no
+    # extra Spark job; a RESUMED build re-aggregates (the earlier groups'
+    # totals live only in their lineage rows).
     from data_prep_opensearch_spark.operators.manifest import read_doc_stats
 
     man = mf.load_manifest(index_dir)
-    if man and man["doc_stats"]:
+    if not (man and man["doc_stats"]):  # fully empty corpus
+        total_docs, avgdl = 0, 0.0
+    elif not done_groups:
+        total_docs = sum(n for n, _ in group_totals)
+        total_dl = sum(dl for _, dl in group_totals)
+        avgdl = (total_dl / total_docs) if total_docs else 0.0
+    else:
         stats = read_doc_stats(spark, index_dir)
         agg = stats.select(
             F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
         ).collect()[0]
         total_docs, avgdl = int(agg["n"]), float(agg["avgdl"] or 0.0)
-    else:  # fully empty corpus
-        total_docs, avgdl = 0, 0.0
     meta = {
         "n_docs": total_docs,
         "avgdl": avgdl,

@@ -95,6 +95,14 @@ class PostingBlockMeta:
     last: np.ndarray   # int64 per block
     max_tf: np.ndarray  # int32 per block
     min_dl: np.ndarray  # int32 per block
+    doc_off: np.ndarray  # int64 per block: byte offset of block start in doc_bytes
+    tf_off: np.ndarray   # int64 per block: byte offset of block start in tf_bytes
+
+
+def _empty_block_meta() -> PostingBlockMeta:
+    z64 = np.zeros(0, dtype=np.int64)
+    z32 = np.zeros(0, dtype=np.int32)
+    return PostingBlockMeta(z64, z64.copy(), z32, z32.copy(), z64.copy(), z64.copy())
 
 
 def encode_posting_list(
@@ -107,21 +115,23 @@ def encode_posting_list(
 
     ``doc_ids`` must be strictly increasing; ``base`` is the shard's first
     docID (deltas start from it, so per-shard runs re-anchor cheaply).
+    Per-block BYTE OFFSETS into both streams enable block-level lazy
+    decode at query time: block b re-anchors on the stored block_first[b],
+    so decoding it never touches earlier bytes (Ding & Suel SIGIR'11
+    skip-data, adapted to the VByte wire format).
     """
     d = np.ascontiguousarray(doc_ids, dtype=np.int64)
     t = np.ascontiguousarray(tfs, dtype=np.int64)
     dl = np.ascontiguousarray(doclens, dtype=np.int64)
     if d.shape[0] == 0:
-        empty = PostingBlockMeta(*(np.zeros(0, dtype=np.int64),) * 2,
-                                 max_tf=np.zeros(0, np.int32), min_dl=np.zeros(0, np.int32))
-        return b"", b"", empty
+        return b"", b"", _empty_block_meta()
     if d.shape[0] > 1 and not (np.diff(d) > 0).all():
         raise ValueError("doc_ids must be strictly increasing")
     deltas = np.empty_like(d)
     deltas[0] = d[0] - base
     deltas[1:] = np.diff(d)
-    doc_bytes = vbyte_encode(deltas.astype(np.uint64))
-    tf_bytes = vbyte_encode(t.astype(np.uint64))
+    doc_bytes, doc_nb = vbyte_encode_with_lengths(deltas.astype(np.uint64))
+    tf_bytes, tf_nb = vbyte_encode_with_lengths(t.astype(np.uint64))
 
     n = d.shape[0]
     nblocks = (n + BLOCK - 1) // BLOCK
@@ -130,7 +140,31 @@ def encode_posting_list(
     last = d[np.minimum(bounds + BLOCK - 1, n - 1)]
     max_tf = np.maximum.reduceat(t, bounds).astype(np.int32)
     min_dl = np.minimum.reduceat(dl, bounds).astype(np.int32)
-    return doc_bytes, tf_bytes, PostingBlockMeta(first, last, max_tf, min_dl)
+    doc_cum = np.concatenate(([0], np.cumsum(doc_nb)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_nb)))
+    meta = PostingBlockMeta(first, last, max_tf, min_dl,
+                            doc_cum[bounds], tf_cum[bounds])
+    return doc_bytes, tf_bytes, meta
+
+
+def decode_posting_block(
+    doc_bytes: bytes,
+    tf_bytes: bytes,
+    doc_off: int,
+    doc_end: int,
+    tf_off: int,
+    tf_end: int,
+    first_doc: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONE block given its byte range and stored first docID —
+    no earlier bytes are read (the block's first delta is relative to the
+    previous block's last doc, which we replace with the stored anchor)."""
+    deltas = vbyte_decode(doc_bytes[doc_off:doc_end]).astype(np.int64)
+    if deltas.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    docs = np.cumsum(deltas) - deltas[0] + first_doc
+    tfs = vbyte_decode(tf_bytes[tf_off:tf_end]).astype(np.int64)
+    return docs, tfs
 
 
 def decode_posting_list(

@@ -217,6 +217,7 @@ def _merge_generation_df(to_merge, doclens, next_gen: int, bc_tombs=None):
                 doc_b, tf_b,
                 blk.first.tolist(), blk.last.tolist(),
                 blk.max_tf.tolist(), blk.min_dl.tolist(),
+                blk.doc_off.tolist(), blk.tf_off.tolist(),
             ))
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
