@@ -157,12 +157,27 @@ def minhash_lsh_pairs(
     key: str = "doc_id",
     n_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
+    max_bucket_size: int | None = 200,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of >=1 band.
 
     band_hash = md5(concat of the band's minhashes in seed order); pairs
     sharing a (band, band_hash) bucket are candidates (deduped across
     bands). Standard banding estimate: P(candidate) = 1-(1-j^r)^b.
+
+    HOT-BUCKET SUPPRESSION (the same skew guard the shingle-df cap gives
+    ngram_jaccard_pairs): a degenerate bucket — boilerplate-heavy corpora
+    put a large fraction of docs behind ONE band hash — re-creates the
+    O(m²) fan-out the banded join exists to avoid. Buckets with more than
+    ``max_bucket_size`` members are dropped BEFORE the self-join,
+    bounding per-bucket candidates at max_bucket_size². A bucket that
+    hot is boilerplate by construction (its members are mutual near-dups
+    of a template, not informative pairs); the cap is part of the
+    operator contract and mirrored in the ft_lsh_pairs oracle, not a
+    silent truncation — ``log_drops=True`` prints dropped buckets, and
+    ``max_bucket_size=None`` restores the uncapped join. Reference
+    analogue: the deferral-style skew isolation of api/mysql_store.py:841-865.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text, key, n_hashes).withColumn(
@@ -177,6 +192,23 @@ def minhash_lsh_pairs(
     # recompute the whole shingle->minhash->band DAG (measured 25x slower).
     # At persistent scale the signature table is written to storage instead.
     band_hashes = band_hashes.localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        bsz = band_hashes.groupBy("band", "band_hash").agg(
+            F.count("*").alias("_bsz")
+        )
+        hot = bsz.filter(F.col("_bsz") > max_bucket_size).select(
+            "band", "band_hash"
+        )
+        if log_drops:
+            n_hot = hot.count()
+            if n_hot:
+                print(
+                    f"minhash_lsh_pairs: suppressed {n_hot} band buckets "
+                    f"with > {max_bucket_size} members before the pair join"
+                )
+        band_hashes = band_hashes.join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
+        )
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     return (

@@ -72,15 +72,56 @@ def add_documents(
 def _add_documents_locked(
     spark: SparkSession, index_dir: str, new_docs: DataFrame, mf
 ) -> dict:
+    import shutil
+
     meta = _load_meta(index_dir)
     n_shards = int(meta["n_shards"])
-    gen = max(meta["generations"]) + 1
-    if mf.load_manifest(index_dir) is None:
-        mf.adopt_legacy(spark, index_dir)
+    man = mf.load_manifest(index_dir)
+    if man is None:
+        man = mf.adopt_legacy(spark, index_dir)
+
+    # --- crash recovery (round-2 ADVICE, high): a prior add may have died
+    # between the manifest publish and the meta.json refresh. The manifest
+    # is the commit record; meta.json is a derived cache. Finish the
+    # crashed commit FIRST — adopt any manifest-published generation that
+    # meta lacks and refresh the global stats — and allocate this call's
+    # generation ABOVE every published one. (The round-2 code derived gen
+    # from stale meta, recomputed the committed gen, found `fresh` empty
+    # via the anti-join, and its unconditional overwrite then truncated
+    # the manifest-referenced staged/delta_gen=G dir — destroying
+    # committed doc_stats. A path the manifest references is immutable.)
+    published = mf.committed_gens(man)
+    orphans = sorted(
+        g for g in published if g > 0 and g not in meta["generations"]
+    )
+    if orphans:
+        stats0 = mf.read_doc_stats(spark, index_dir)
+        agg0 = stats0.select(
+            F.count("*").alias("n"), F.avg("doclen").alias("a")
+        ).collect()[0]
+        meta["n_docs"] = int(agg0["n"])
+        meta["avgdl"] = float(agg0["a"] or 0.0)
+        meta["generations"] = sorted(set(meta["generations"]) | set(orphans))
+        _save_meta(index_dir, meta)
+        for g in orphans:  # posting runs a completed add would have removed
+            shutil.rmtree(
+                os.path.join(index_dir, "staged", f"delta_gen={g}", "kind=0"),
+                ignore_errors=True,
+            )
+    gen = max(set(meta["generations"]) | published) + 1
 
     old_stats = mf.read_doc_stats(spark, index_dir)
     existing = old_stats.select("repo", "path", "commit")
     fresh = new_docs.join(existing, ["repo", "path", "commit"], "left_anti")
+    if fresh.isEmpty():
+        # all-skipped delta (I8 short-circuit): nothing staged, nothing
+        # published, no phantom generation — and, critically, no write
+        # that could touch an existing directory
+        return {
+            "generation": None,
+            "docs_added": 0,
+            "n_docs": int(meta["n_docs"]),
+        }
 
     # per-shard NEXT docID offset = max existing offset + 1 (NOT the row
     # count: a vacuum leaves holes, and count-based allocation would hand
@@ -144,8 +185,6 @@ def _add_documents_locked(
             mf.add_unique(m["doclens"], dl_rel)
             mf.add_unique(m["doc_stats"], stats_rel)
     mf.update_manifest(index_dir, _mut)
-    import shutil
-
     shutil.rmtree(kind0, ignore_errors=True)
 
     # refresh global stats + lineage

@@ -36,13 +36,32 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
 import time
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+from pyspark.sql import (
+    DataFrame,
+    Observation,
+    SparkSession,
+    Window,
+    functions as F,
+    types as T,
+)
+
+
+def _tick(label: str, t0: float) -> float:
+    """Env-gated phase timing (``DPOSS_BUILD_TIMINGS=1``): the scaling
+    bench reads these lines to attribute N-vs-4N inefficiency to a
+    specific build phase rather than guessing."""
+    now = time.monotonic()
+    if os.environ.get("DPOSS_BUILD_TIMINGS") == "1":
+        print(f"PHASE {label} {now - t0:.2f}", flush=True)
+    return now
 
 from data_prep_opensearch_spark.operators.postings import vbyte_encode
 
@@ -728,78 +747,147 @@ def _build_index_locked(
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
 
-    for g in todo:
-        t0 = time.monotonic()
-        gdocs = docs.filter(F.col("group_id") == g)
-        # ONE tokenize pass stages posting runs + doc stats together
-        # (map-side combine: the (term, shard) shuffle then moves ~vocab ×
-        # partitions small binary rows, not one row per posting — measured
-        # 20M rows -> 0.6M rows at 240k docs). partitionBy("kind") splits
-        # the two row kinds into separate parquet dirs in the SAME job;
-        # the kind=1 (doc stats) partition is then simply REFERENCED from
-        # the manifest — no rename, no second write.
-        runs_dir = os.path.join(index_dir, "staged", f"group={g}")
-        map_runs_and_stats(gdocs, tokenizer).write.partitionBy("kind").mode(
-            "overwrite"
-        ).parquet(runs_dir)
-        run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
-        kind0 = os.path.join(runs_dir, "kind=0")
-        kind1 = os.path.join(runs_dir, "kind=1")
-        seg_rel, dl_rel = f"seg_b0_g{g}", f"dl_b0_g{g}"
-        stats_rel = f"staged/group={g}/kind=1"
-        # a group can be empty (n_docs < n_shards, or empty shards): guard
-        # both kinds and still commit the lineage row so resume skips it
-        has_runs, has_stats = os.path.exists(kind0), os.path.exists(kind1)
-        if has_runs:
-            runs = spark.read.parquet(kind0).select(*run_cols)
-            segments_from_runs(runs, gen=0).write.mode("overwrite").parquet(
-                os.path.join(index_dir, seg_rel)
+    try:
+        for g in todo:
+            t0 = time.monotonic()
+            runs_dir = os.path.join(index_dir, "staged", f"group={g}")
+            run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
+            kind0 = os.path.join(runs_dir, "kind=0")
+            kind1 = os.path.join(runs_dir, "kind=1")
+            seg_rel, dl_rel = f"seg_b0_g{g}", f"dl_b0_g{g}"
+            stats_rel = f"staged/group={g}/kind=1"
+
+            # crash-window recovery (round-2 ADVICE): the manifest publishes
+            # only AFTER every one of the group's writes completed, so a
+            # manifest that already references this group means a prior run
+            # finished the data and died inside the publish->lineage window.
+            # From the moment of publish the referenced dirs are immutable —
+            # re-running the overwrite would leave the manifest pointing at a
+            # half-written doc_stats dir if THIS run also crashed mid-write.
+            # Recompute the lineage counters from the committed stats (one
+            # tiny scan) and skip the writes entirely.
+            man_now = mf.load_manifest(index_dir)
+            committed = bool(man_now) and (
+                stats_rel in man_now["doc_stats"]
+                or any(e["path"] == seg_rel for e in man_now["segments"])
             )
-        n_docs, n_postings, fp = 0, 0, 0
-        if has_stats:
-            g_stats = spark.read.parquet(kind1)
-            encode_doclens(g_stats).write.mode("overwrite").parquet(
-                os.path.join(index_dir, dl_rel)
+            if committed:
+                n_docs, n_postings, fp = 0, 0, 0
+                if os.path.exists(kind1):
+                    g_stats = spark.read.parquet(kind1)
+                    agg_row = g_stats.select(
+                        F.expr(
+                            "bit_xor(xxhash64(repo, path, commit, sha256))"
+                        ).alias("fp"),
+                        F.count("*").alias("n"),
+                        F.sum("n_terms").alias("s"),
+                        F.sum("doclen").alias("dl"),
+                    ).collect()[0]
+                    n_docs = int(agg_row["n"])
+                    fp = int(agg_row["fp"] or 0) ^ n_docs
+                    n_postings = int(agg_row["s"] or 0)
+                    group_totals.append((n_docs, int(agg_row["dl"] or 0)))
+                append_lineage_row(
+                    index_dir,
+                    ("postings", g, 0, n_docs, n_postings, fp,
+                     int((time.monotonic() - t0) * 1000), "complete"),
+                )
+                shutil.rmtree(kind0, ignore_errors=True)
+                continue
+
+            gdocs = docs.filter(F.col("group_id") == g)
+            # ONE tokenize pass stages posting runs + doc stats together
+            # (map-side combine: the (term, shard) shuffle then moves ~vocab ×
+            # partitions small binary rows, not one row per posting — measured
+            # 20M rows -> 0.6M rows at 240k docs). partitionBy("kind") splits
+            # the two row kinds into separate parquet dirs in the SAME job;
+            # the kind=1 (doc stats) partition is then simply REFERENCED from
+            # the manifest — no rename, no second write.
+            tmark = time.monotonic()
+            map_runs_and_stats(gdocs, tokenizer).write.partitionBy("kind").mode(
+                "overwrite"
+            ).parquet(runs_dir)
+            tmark = _tick("staged_write", tmark)
+            # a group can be empty (n_docs < n_shards, or empty shards): guard
+            # both kinds and still commit the lineage row so resume skips it
+            has_runs, has_stats = os.path.exists(kind0), os.path.exists(kind1)
+
+            # the segment write (kind=0) and the doclen write + commit agg
+            # (kind=1) read DISJOINT staged partitions — run them as
+            # concurrent Spark jobs (threads; Spark's FIFO scheduler
+            # interleaves their tasks across the same slots). The commit
+            # agg rides the doclen job via Observation instead of being
+            # its own scan — two job boundaries removed from the serial
+            # per-group window (the north rule's scaling criterion is
+            # Amdahl-bound by exactly this window).
+            seg_err: list[BaseException] = []
+
+            def _write_segments():
+                try:
+                    runs = spark.read.parquet(kind0).select(*run_cols)
+                    segments_from_runs(runs, gen=0).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(index_dir, seg_rel))
+                except BaseException as e:  # re-raised on the main thread
+                    seg_err.append(e)
+
+            seg_thread = None
+            if has_runs:
+                seg_thread = threading.Thread(target=_write_segments)
+                seg_thread.start()
+            n_docs, n_postings, fp = 0, 0, 0
+            if has_stats:
+                g_stats = spark.read.parquet(kind1)
+                # group identity + counters observed DURING the doclen
+                # write (one job, no second scan) — sha256 is the content
+                # identity, so this is the order-independent corpus
+                # fingerprint WITHOUT another pass over content
+                # (idempotent-export identity, api/control_plane.py:698-704).
+                # sum(doclen) rides along so a fresh build's finalize
+                # needs NO extra Spark job.
+                obs = Observation(f"commit_g{g}")
+                observed = g_stats.observe(
+                    obs,
+                    F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_terms").alias("s"),
+                    F.sum("doclen").alias("dl"),
+                )
+                encode_doclens(observed).write.mode("overwrite").parquet(
+                    os.path.join(index_dir, dl_rel)
+                )
+                agg_row = obs.get
+                n_docs = int(agg_row["n"])
+                fp = int(agg_row["fp"] or 0) ^ n_docs
+                n_postings = int(agg_row["s"] or 0)
+                group_totals.append((n_docs, int(agg_row["dl"] or 0)))
+            if seg_thread is not None:
+                seg_thread.join()
+                if seg_err:
+                    raise seg_err[0]
+            tmark = _tick("seg_dl_commit", tmark)
+
+            # publish BEFORE the lineage row: a crash in between re-runs the
+            # group, overwrites the same dirs, republishes the same entries
+            def _mut(m, _seg=seg_rel, _dl=dl_rel, _st=stats_rel,
+                     _runs=has_runs, _stats=has_stats):
+                if _runs:
+                    mf.add_segment_entry(m, _seg, [0])
+                if _stats:
+                    mf.add_unique(m["doclens"], _dl)
+                    mf.add_unique(m["doc_stats"], _st)
+            mf.update_manifest(index_dir, _mut)
+
+            wall = int((time.monotonic() - t0) * 1000)
+            append_lineage_row(
+                index_dir, ("postings", g, 0, n_docs, n_postings, fp, wall, "complete")
             )
-            # group identity + counters from the staged stats (one tiny
-            # column scan) — sha256 is the content identity, so this is the
-            # order-independent corpus fingerprint WITHOUT a second full
-            # pass over content (idempotent-export identity pattern,
-            # api/control_plane.py:698-704). sum(doclen) rides along so the
-            # finalize stats need NO extra job on a fresh build.
-            agg_row = g_stats.select(
-                F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
-                F.count("*").alias("n"),
-                F.sum("n_terms").alias("s"),
-                F.sum("doclen").alias("dl"),
-            ).collect()[0]
-            n_docs = int(agg_row["n"])
-            fp = int(agg_row["fp"] or 0) ^ n_docs
-            n_postings = int(agg_row["s"] or 0)
-            group_totals.append((n_docs, int(agg_row["dl"] or 0)))
+            # posting runs served their purpose; the kind=1 stats stay (the
+            # manifest references them in place)
+            shutil.rmtree(kind0, ignore_errors=True)
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
 
-        # publish BEFORE the lineage row: a crash in between re-runs the
-        # group, overwrites the same dirs, republishes the same entries
-        def _mut(m, _seg=seg_rel, _dl=dl_rel, _st=stats_rel,
-                 _runs=has_runs, _stats=has_stats):
-            if _runs:
-                mf.add_segment_entry(m, _seg, [0])
-            if _stats:
-                mf.add_unique(m["doclens"], _dl)
-                mf.add_unique(m["doc_stats"], _st)
-        mf.update_manifest(index_dir, _mut)
-
-        wall = int((time.monotonic() - t0) * 1000)
-        append_lineage_row(
-            index_dir, ("postings", g, 0, n_docs, n_postings, fp, wall, "complete")
-        )
-        # posting runs served their purpose; the kind=1 stats stay (the
-        # manifest references them in place)
-        import shutil
-
-        shutil.rmtree(kind0, ignore_errors=True)
-
-    spark.conf.set(coalesce_key, prev_coalesce)
 
     if stop_after_groups is not None and len(todo) < n_groups - len(done_groups):
         return {"status": "interrupted", "groups_done": sorted(done_groups | set(todo))}

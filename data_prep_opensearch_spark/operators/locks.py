@@ -37,40 +37,60 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _read_status(status_path: str) -> dict:
+    try:
+        with open(status_path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 @contextlib.contextmanager
-def index_lock(index_dir: str, purpose: str = "write", stale_after_sec: int = 3600):
+def index_lock(
+    index_dir: str, purpose: str = "write", stale_after_sec: int = 24 * 3600
+):
     """Acquire the index's writer lock for the duration of the block.
 
-    A lock whose holder pid is dead, or whose age exceeds
-    ``stale_after_sec``, is taken over (crash recovery — the reference's
-    stale-lock cleanup, pipeline/locks.py:88-105).
+    Takeover is allowed ONLY when the holder pid is provably dead, or the
+    lock's age exceeds ``stale_after_sec`` (default 24h — the reference's
+    deadline, pipeline/locks.py:88-105). A LIVE holder younger than the
+    deadline is never stolen, however long it has run short of it.
+
+    Race discipline: takeover is rmtree + a fresh ``mkdir`` attempt. If a
+    concurrent process wins that re-acquire race, the loser must NOT
+    touch the winner's fresh lock — on the retry a ``FileExistsError``
+    means "someone else holds it now" and raises IndexLockHeld (the
+    round-2 retry clause rmtree'd the winner's lock and then crashed
+    writing status into the removed dir, leaving the winner unprotected).
     """
     os.makedirs(index_dir, exist_ok=True)
     lock_dir = os.path.join(index_dir, ".lock")
     status_path = os.path.join(lock_dir, "status.json")
+    acquired = False
     for attempt in range(2):
         try:
             os.mkdir(lock_dir)  # atomic iff the lock does not exist
+            acquired = True
             break
         except FileExistsError:
-            status: dict = {}
-            try:
-                with open(status_path) as f:
-                    status = json.load(f)
-            except Exception:
-                pass
+            status = _read_status(status_path)
             pid = int(status.get("pid") or 0)
             try:
                 age = time.time() - os.stat(lock_dir).st_mtime
             except OSError:
                 age = 0.0
-            if _pid_alive(pid) and age < stale_after_sec and attempt == 0:
-                raise IndexLockHeld(
-                    f"another writer (pid={pid}, purpose={status.get('purpose')}, "
-                    f"age={int(age)}s) holds the lock on {index_dir}; if it "
-                    f"crashed, remove {lock_dir}"
-                )
-            shutil.rmtree(lock_dir, ignore_errors=True)  # stale: take over
+            holder_dead = pid > 0 and not _pid_alive(pid)
+            stale = holder_dead or age >= stale_after_sec
+            if attempt == 0 and stale:
+                shutil.rmtree(lock_dir, ignore_errors=True)  # take over, re-race
+                continue
+            raise IndexLockHeld(
+                f"another writer (pid={pid}, purpose={status.get('purpose')}, "
+                f"age={int(age)}s) holds the lock on {index_dir}; if it "
+                f"crashed, remove {lock_dir}"
+            )
+    if not acquired:  # defensive: loop exhausted without mkdir or raise
+        raise IndexLockHeld(f"could not acquire writer lock on {index_dir}")
     tmp = status_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"pid": os.getpid(), "purpose": purpose,

@@ -192,6 +192,27 @@ def read_doclens(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def committed_gens(m: dict) -> set[int]:
+    """Every generation the manifest has PUBLISHED: segment entries' gens
+    plus doc_stats delta dirs (staged/delta_gen=K/...). The manifest is
+    the commit record; meta.json is a derived cache — crash recovery in
+    add_documents derives the next generation from this, never from meta,
+    so a re-run after a crash between manifest publish and meta refresh
+    cannot reuse (and overwrite) a committed generation's directories."""
+    out: set[int] = set()
+    for e in m["segments"]:
+        out |= set(int(g) for g in e["gens"])
+    for p in m["doc_stats"]:
+        mm = _DELTA_GEN.search(p)
+        if mm:
+            out.add(int(mm.group(1)))
+    for p in m["doclens"]:
+        mm = re.search(r"dl_delta_g(\d+)", p)
+        if mm:
+            out.add(int(mm.group(1)))
+    return out
+
+
 def live_gens(m: dict) -> list[int]:
     out: set[int] = set()
     for e in m["segments"]:

@@ -212,15 +212,41 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     vec_col: str = "embedding",
     key: str = "vec_id",
+    max_bucket_size: int | None = 2000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket equi-join prunes candidates,
     exact cosine filters. Same-bucket-only keeps the join linear-ish;
-    raise n_planes as the table grows."""
+    raise n_planes as the table grows.
+
+    HOT-BUCKET SUPPRESSION (same guard as minhash_lsh_pairs): correlated
+    embeddings — a cluster of near-constant vectors — can put a huge
+    share of the table behind one sign pattern, re-creating the O(m²)
+    blowup the bucketing exists to avoid. Buckets larger than
+    ``max_bucket_size`` are dropped before the self-join (mirrored in
+    the oracle; ``log_drops=True`` reports them; ``None`` uncaps).
+    At scale, prefer RAISING n_planes first — the cap is the backstop
+    for adversarial/degenerate inputs, not the sizing mechanism."""
     # materialize bucket assignment before the self-join (both sides would
     # otherwise recompute the n_planes dot products per row)
     withb = df.withColumn(
         "_bucket", lsh_bucket_col(F.col(vec_col), n_planes)
     ).localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        hot = (
+            withb.groupBy("_bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("_bucket")
+        )
+        if log_drops:
+            n_hot = hot.count()
+            if n_hot:
+                print(
+                    f"embedding_near_dup_pairs: suppressed {n_hot} buckets "
+                    f"with > {max_bucket_size} members before the pair join"
+                )
+        withb = withb.join(F.broadcast(hot), "_bucket", "left_anti")
     a = withb.alias("a")
     b = withb.alias("b")
     return (

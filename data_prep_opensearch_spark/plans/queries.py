@@ -399,21 +399,31 @@ def ft_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(md5(concat(seed, ':', shingle))) AS minhash
       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
     ),
-    bands AS (
+    bands_all AS (
       SELECT doc_id, CAST(seed // 4 AS INT) AS band,
              md5(array_to_string(list_sort(list(concat(seed, ':', minhash))), ',')) AS band_hash
       FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+    ),
+    -- hot-bucket suppression (cap = 200), mirroring the engine's skew
+    -- guard: a degenerate bucket would fan out O(m^2) in the self-join
+    bands AS (
+      SELECT bands_all.* FROM bands_all
+      JOIN (SELECT band, band_hash FROM bands_all
+            GROUP BY band, band_hash HAVING count(*) <= 200) ok
+        USING (band, band_hash)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     """,
-    covers=["MinHash+LSH banded candidate join"],
+    covers=["MinHash+LSH banded candidate join",
+            "hot-bucket skew suppression (X8)"],
 )
 def ft_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_corpus(spark, sf_dir))
+    return minhash_lsh_pairs(_corpus(spark, sf_dir), max_bucket_size=200,
+                             log_drops=True)
 
 
 @register(
@@ -674,10 +684,64 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB expression for the engine's sign-LSH bucket id. The
+    hyperplanes are DETERMINISTIC (similarity._hyperplanes: splitmix64,
+    stateless), so their float64 values are emitted as SQL literals
+    exactly — the same approach _simhash_sql takes for its 64 bit tests.
+    A sign flip between engines would need |dot| within float-summation
+    error (~1e-13) of zero, measure-zero for continuous embeddings."""
+    from data_prep_opensearch_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim)
+    terms = []
+    for i in range(n_planes):
+        lits = ", ".join(repr(float(x)) for x in planes[i])
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ([{lits}])[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_PAIR_COS = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(a.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(b.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
 @register(
     "emb_near_dup",
-    None,  # LSH bucketing uses engine-side hyperplane literals; rows-only check
-    covers=["embedding-cosine near-dup via LSH buckets (scale path)"],
+    f"""
+    WITH allv AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    wb AS (
+      SELECT vec_id, embedding,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM allv
+    ),
+    -- hot-bucket suppression (cap = 2000), mirroring the engine's guard
+    fb AS (
+      SELECT wb.* FROM wb
+      JOIN (SELECT bucket FROM wb GROUP BY bucket
+            HAVING count(*) <= 2000) ok USING (bucket)
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_PAIR_COS}, 6) AS cos_sim
+    FROM fb a JOIN fb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_PAIR_COS}, 6) >= 0.999
+    """,
+    covers=["embedding-cosine near-dup via LSH buckets (scale path)",
+            "hot-bucket skew suppression (X8)"],
 )
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.similarity import embedding_near_dup_pairs
@@ -689,13 +753,25 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = e.unionByName(clones).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    return embedding_near_dup_pairs(both, threshold=0.999)
+    return embedding_near_dup_pairs(both, threshold=0.999, log_drops=True)
 
 
 @register(
     "emb_ann_lsh",
-    None,  # approximate by construction; rows-only check
-    covers=["LSH-bucketed ANN top-k (probing)"],
+    f"""
+    WITH wb AS (
+      SELECT vec_id, embedding,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding, bucket FROM wb WHERE vec_id = 0)
+    SELECT a.vec_id AS vec_id, round({_PAIR_COS.replace('b.embedding', 'q.embedding')}, 6) AS cos_sim
+    FROM wb a CROSS JOIN q
+    WHERE bit_count(CAST(xor(a.bucket, q.bucket) AS BIGINT)) <= 1
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    covers=["LSH-bucketed ANN top-k (radius-1 multi-probe)"],
 )
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.similarity import ann_lsh_topk

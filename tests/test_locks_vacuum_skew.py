@@ -152,6 +152,63 @@ def test_ngram_jaccard_hot_shingle_bound(spark):
     assert uncapped.count() == (n // 2) * (n // 2 - 1) // 2
 
 
+def test_minhash_lsh_hot_bucket_bound(spark):
+    """Degenerate LSH bucket: 50% of docs are one boilerplate template, so
+    every band funnels them into ONE (band, band_hash) bucket. With the
+    bucket cap the self-join fan-out stays bounded (here: zero pairs —
+    the hot bucket is suppressed, unique docs share no bucket); uncapped
+    it is the full O(m²) blow-up the guard exists to kill."""
+    from data_prep_opensearch_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 100
+    rows = []
+    for i in range(n):
+        text = (
+            "common boilerplate header license apache version two"
+            if i % 2 == 0
+            else f"unique{i} body{i} text{i} alpha{i} beta{i} gamma{i}"
+        )
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = minhash_lsh_pairs(df, max_bucket_size=10)
+    assert capped.count() == 0
+
+    uncapped = minhash_lsh_pairs(df, max_bucket_size=None)
+    m = n // 2
+    assert uncapped.count() == m * (m - 1) // 2
+
+
+def test_embedding_near_dup_hot_bucket_bound(spark):
+    """Degenerate embedding bucket: 50% of vectors are (near-)constant —
+    one sign pattern holds half the table. The bucket cap suppresses it
+    before the self-join; uncapped, the same operator pays O(m²)."""
+    import numpy as np
+
+    from data_prep_opensearch_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng_base = np.linspace(-1.0, 1.0, 64)
+    rows = []
+    for i in range(100):
+        if i % 2 == 0:
+            v = rng_base  # identical vector -> identical bucket, cos = 1
+        else:
+            v = np.cos(rng_base * (i + 3)) + 0.01 * i  # spread-out buckets
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    capped = embedding_near_dup_pairs(df, threshold=0.999, max_bucket_size=10)
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    hot_ids = {i for i in range(100) if i % 2 == 0}
+    assert not any(a in hot_ids and b in hot_ids for a, b in capped_pairs)
+
+    uncapped = embedding_near_dup_pairs(df, threshold=0.999, max_bucket_size=None)
+    m = 50
+    assert uncapped.count() >= m * (m - 1) // 2
+
+
 def test_latest_version_pruning(spark, tmp_root):
     """superseded_doc_ids: older versions of a re-sent (repo, path) are
     masked; the latest generation's version survives."""
