@@ -61,8 +61,16 @@ CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "500000"))
 LOW = int(os.environ.get("BENCH_LOW_CORES", "2"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "6"))
 CPUS_PER_SLOT = 2  # 1 JVM task thread + 1 python worker per task slot
-N_SHARDS = 32  # corpus-determined, NOT core-count-determined: docIDs and
-               # the index must be identical at every parallelism
+N_SHARDS = 128  # corpus-determined, NOT core-count-determined: docIDs and
+                # the index must be identical at every parallelism.
+                # 128 (not 32): the docID window shuffle hash-partitions
+                # the SHARD column, so with shards == partitions the
+                # balls-into-bins collisions leave ~40% of partitions
+                # empty and hand one task 3 shards — a tokenize-stage
+                # straggler that capped measured 2->8-slot scaling at
+                # ~0.5. At 4x-partitions-per-shard granularity the
+                # collision skew averages out (max/avg ~1.7 vs 3.0) and
+                # the stage packs evenly at every slot count.
 
 HEADLINE = [
     "ft_bm25_topk",
@@ -82,6 +90,8 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_top_revenue",
     "rel_change_classification",
+    "rel_translations_merge",
+    "mm_binary_detect",
     "str_windowed_counts",
     "str_sessionize",
 ]
@@ -156,6 +166,93 @@ def build_once_subprocess(
         if line.startswith("WALL "):
             return float(line.split()[1]), rate
     raise RuntimeError(f"build subprocess failed: {out.stderr[-2000:]}")
+
+
+# streaming meter for the query section: prints (wall-clock, iters)
+# samples so the parent can compute the steal rate inside ANY window
+_METER_STREAM_CODE = r"""
+import json, signal, sys, time
+import numpy as np
+stop = [False]
+signal.signal(signal.SIGTERM, lambda *a: stop.__setitem__(0, True))
+a = np.arange(200_000, dtype=np.float64)
+for _ in range(20):
+    a = np.sqrt(a * 1.0000001 + 1.0)
+iters, last = 0, time.time()
+print(json.dumps({"t": time.time(), "iters": 0}), flush=True)
+while not stop[0]:
+    a = np.sqrt(a * 1.0000001 + 1.0)
+    iters += 1
+    now = time.time()
+    if now - last >= 0.25:
+        print(json.dumps({"t": now, "iters": iters}), flush=True)
+        last = now
+"""
+
+
+class _StreamMeter:
+    """Steal meter for the query section (round-2 VERDICT asked for
+    contention context on per-query walls). The meter pins to the LAST
+    cpu; the bench process (and the query JVM it spawns) is affined to
+    the remaining cpus, so the meter measures EXTERNAL contention, not
+    our own Spark load. Cost: one of 32 cpus (~3%), documented in the
+    protocol string."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.samples: list[tuple[float, int]] = []
+        self.proc = None
+        self._thread: threading.Thread | None = None
+        n = os.cpu_count() or CPUS
+        self.meter_cpu: int | None = n - 1 if n >= 4 else None
+        if self.meter_cpu is None or not shutil.which("taskset"):
+            self.meter_cpu = None
+            return
+        try:
+            os.sched_setaffinity(0, set(range(n - 1)))
+        except (AttributeError, OSError):
+            self.meter_cpu = None
+            return
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", str(self.meter_cpu), sys.executable, "-c",
+             _METER_STREAM_CODE],
+            stdout=subprocess.PIPE, text=True,
+        )
+
+        def reader():
+            for line in self.proc.stdout:
+                try:
+                    m = json.loads(line)
+                    self.samples.append((float(m["t"]), int(m["iters"])))
+                except Exception:
+                    pass
+
+        self._thread = threading.Thread(target=reader, daemon=True)
+        self._thread.start()
+
+    def rate(self, t0: float, t1: float) -> float | None:
+        """Mean meter iterations/sec inside wall-clock window [t0, t1]."""
+        inside = [s for s in self.samples if t0 <= s[0] <= t1]
+        if len(inside) < 2:
+            return None
+        (ta, ia), (tb, ib) = inside[0], inside[-1]
+        return (ib - ia) / (tb - ta) if tb > ta else None
+
+    def stop(self) -> None:
+        if self.proc is not None:
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=10)
+            except Exception:
+                self.proc.kill()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        n = os.cpu_count() or CPUS
+        try:
+            os.sched_setaffinity(0, set(range(n)))
+        except (AttributeError, OSError):
+            pass
 
 
 def _scratch_root() -> str:
@@ -262,6 +359,7 @@ def main() -> None:
     from data_prep_opensearch_spark.oracle import reference_query_set
     from data_prep_opensearch_spark.plans.queries import REGISTRY
 
+    meter = _StreamMeter()  # affines us to cpus 0..n-2 BEFORE the JVM spawns
     spark = get_spark(app_name="bench_queries", cores=CPUS)
     _warm_workers(spark, CPUS)
 
@@ -293,10 +391,12 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
     queries: dict[str, float] = {}
+    query_meter: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.monotonic()
+        w0 = time.time()
         try:
             fn(spark, SF_DIR).count()
         except Exception as exc:
@@ -304,9 +404,27 @@ def main() -> None:
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             continue
         wall = time.monotonic() - t0
+        r = meter.rate(w0, time.time())
+        if r is not None:
+            query_meter[name] = round(r, 1)
         queries[name] = round(wall, 3)
         total += wall
+    meter.stop()
     result["queries"] = queries
+    if query_meter:
+        best = max(query_meter.values())
+        result["query_meter_rates"] = query_meter
+        # wall normalized by the window's external-steal factor — the
+        # number to compare ACROSS rounds (raw walls carry weather)
+        result["queries_normalized"] = {
+            n: round(queries[n] * (query_meter[n] / best), 3)
+            for n in query_meter
+            if queries.get(n, -1) > 0
+        }
+        result["query_meter_note"] = (
+            "meter pinned to last cpu, bench+JVM affined to the rest; "
+            "rate = external-contention proxy per query window"
+        )
     result["value"] = round(total, 3)
 
     print(json.dumps(result))

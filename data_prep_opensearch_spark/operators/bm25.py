@@ -74,6 +74,25 @@ TOPK_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType(), False),
 ])
 
+BATCH_TOPK_SCHEMA = T.StructType([
+    T.StructField("query_id", T.IntegerType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+def _sidecar_of(grp: pd.DataFrame) -> tuple[int, bytes, np.ndarray | None]:
+    """(base, dl_bytes, deleted) from a shard group's joined sidecar
+    columns (identical on every row of the group — read once)."""
+    first = grp.iloc[0]
+    del_val = first["deleted"]
+    deleted = (
+        None
+        if del_val is None or (isinstance(del_val, float) and pd.isna(del_val))
+        else np.asarray(del_val, dtype=np.int64)
+    )
+    return int(first["base"]), bytes(first["dl_bytes"]), deleted
+
 
 def load_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "meta.json")) as f:
@@ -87,11 +106,12 @@ class BM25Engine:
         table — the broadcast-dictionary step X10 of SURVEY.md §4),
       - segments CACHED pre-partitioned by shard (so a query is filter +
         mapInPandas with NO shuffle),
-      - the per-shard doclen sidecar as a Spark broadcast (a few KB/shard;
-        at web scale this would be a bucketed co-located join instead).
+      - the per-shard (doclen, masked-ids) sidecar as a one-row-per-shard
+        DataFrame cached CO-PARTITIONED with the segments — queries join
+        it by shard with no exchange and no driver transit.
     A warm query is then exactly ONE Spark job:
-      filter(term IN ...) -> per-shard block-max WAND / dense top-k
-      -> TakeOrderedAndProject.
+      filter(term IN ...) -> colocated sidecar join -> per-shard
+      block-max WAND / dense top-k -> TakeOrderedAndProject.
     """
 
     def __init__(
@@ -104,8 +124,19 @@ class BM25Engine:
         """``prune_superseded``: mask every document version except the
         latest per (repo, path) — tombstone-style masking (scores use
         full-corpus stats; superseded docs are excluded from results).
-        The id set is collected like tombstones; at web scale both become
-        a broadcast-built per-shard bitmap from the same anti-join."""
+
+        Sidecar discipline (round-2 review item): the per-shard doclen
+        bytes and masked-id arrays NEVER transit the driver. They form a
+        one-row-per-shard DataFrame, cached co-partitioned with the
+        segment table on ``shard``, and joined onto the filtered segment
+        rows at query time — a colocated join (both sides hash-
+        partitioned on shard, no exchange). At 10^12 docs (thousands of
+        shards × ~MB of dl_bytes each) the round-2 collect+broadcast was
+        GBs through the driver; this path is one shuffle at init and
+        zero at query time."""
+        from data_prep_opensearch_spark.operators.incremental import (
+            masked_doc_ids_per_shard,
+        )
         from data_prep_opensearch_spark.operators.manifest import (
             read_doclens,
             read_segments,
@@ -114,13 +145,31 @@ class BM25Engine:
         self.spark = spark
         self.meta = load_meta(index_dir)
         seg = read_segments(spark, index_dir)
+
+        sidecar = read_doclens(spark, index_dir).select("shard", "base", "dl_bytes")
+        masked = masked_doc_ids_per_shard(
+            spark, index_dir, include_superseded=prune_superseded
+        )
+        if masked is not None:
+            sidecar = sidecar.join(masked, "shard", "left")
+        else:
+            sidecar = sidecar.withColumn(
+                "deleted", F.lit(None).cast(T.ArrayType(T.LongType()))
+            )
+
         self._shard_partitioned = cache
         if cache:
-            n_part = max(spark.sparkContext.defaultParallelism, self.meta["n_shards"])
-            self.seg = seg.repartition(min(n_part, self.meta["n_shards"]), "shard").cache()
+            n_part = min(
+                max(spark.sparkContext.defaultParallelism, self.meta["n_shards"]),
+                self.meta["n_shards"],
+            )
+            self.seg = seg.repartition(n_part, "shard").cache()
             self.seg.count()
+            self.sidecar = sidecar.repartition(n_part, "shard").cache()
+            self.sidecar.count()
         else:
             self.seg = seg
+            self.sidecar = sidecar
         # term dictionary: resolved LAZILY per query via a `term IN (...)`
         # filtered aggregate over the (term-sorted) segment files — the
         # parquet scan prunes on term min/max stats, so this is a
@@ -128,33 +177,6 @@ class BM25Engine:
         # (the round-1 toPandas() pulled the whole vocab to the driver,
         # which cannot exist at 10^12 docs). Warm terms are cached.
         self._df_cache: dict[str, int] = {}
-        dl_rows = read_doclens(spark, index_dir).collect()
-        from data_prep_opensearch_spark.operators.incremental import load_tombstones
-
-        tombs = load_tombstones(spark, index_dir)
-        if prune_superseded:
-            import numpy as np
-            import pandas as pd
-
-            from data_prep_opensearch_spark.operators.incremental import (
-                superseded_doc_ids,
-            )
-            from data_prep_opensearch_spark.operators.index_build import SHARD_WIDTH
-
-            sup = superseded_doc_ids(spark, index_dir).toPandas()
-            if not sup.empty:
-                ids = np.unique(sup["doc_id"].to_numpy(dtype=np.int64))
-                for shard, grp in pd.Series(ids).groupby(ids // SHARD_WIDTH):
-                    old = tombs.get(int(shard))
-                    new = grp.to_numpy(dtype=np.int64)
-                    tombs[int(shard)] = (
-                        np.union1d(old, new) if old is not None else new
-                    )
-        self.bc_doclens = spark.sparkContext.broadcast({
-            int(r["shard"]): (int(r["base"]), bytes(r["dl_bytes"]),
-                              tombs.get(int(r["shard"])))
-            for r in dl_rows
-        })
 
     def resolve_df(self, terms: list[str]) -> dict[str, int]:
         """Global df per term (summed over shards/generations) via one tiny
@@ -198,7 +220,10 @@ class BM25Engine:
             # cold path: co-locate each shard's rows (the filtered set is
             # tiny — <= |terms| rows per shard — so this shuffle is cheap)
             seg = seg.repartition(F.col("shard"))
-        bc = self.bc_doclens
+        # per-shard sidecar join, colocated on the warm path (both sides
+        # cached hash-partitioned on shard — no exchange; .explain shows
+        # only sorts above the cached scans)
+        seg = seg.join(self.sidecar, "shard", "inner")
 
         def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # a shard's rows can span Arrow batches: consume the WHOLE
@@ -209,11 +234,83 @@ class BM25Engine:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
             for shard, grp in pdf.groupby("shard"):
-                base, dl_bytes, deleted = bc.value[int(shard)]
+                base, dl_bytes, deleted = _sidecar_of(grp)
                 yield scorer_fn(grp, idf_map, avgdl, k, base, dl_bytes, deleted)
 
         local = seg.mapInPandas(score_partition, TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_batch(
+        self, queries: list[str], k: int = 10, scorer: str = "auto"
+    ) -> DataFrame:
+        """Score a BATCH of queries in ONE Spark job (returns (query_id,
+        doc_id, score); query_id = position in ``queries``).
+
+        Warm single-query latency at sandbox scale is job-scheduling
+        bound (~0.4s) with the scorer kernel at ~100ms — batching
+        amortizes the scheduling: all queries' terms union into one
+        segment filter, every (shard, query) pair scores inside the same
+        mapInPandas pass, and one window takes each query's top-k.
+        Per-query results are IDENTICAL to ``topk`` (parity-tested).
+        Queries with no indexed terms return no rows."""
+        spark = self.spark
+        tok = TOKENIZERS[self.meta["tokenizer"]]
+        terms_by_q = [sorted(set(tok(q))) for q in queries]
+        all_terms = sorted({t for ts in terms_by_q for t in ts})
+        df_map = self.resolve_df(all_terms) if all_terms else {}
+        n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
+
+        plans: list[tuple[list[str], dict[str, float], object]] = []
+        for ts in terms_by_q:
+            ts = [t for t in ts if df_map.get(t, 0) > 0]
+            if not ts:
+                plans.append(([], {}, None))
+                continue
+            idf_map = {t: idf(n_docs, df_map[t]) for t in ts}
+            s = scorer
+            if s == "auto":
+                hot = max(df_map[t] for t in ts) > 0.1 * n_docs
+                s = "dense" if (len(ts) == 1 or hot) else "wand"
+            fn = _score_shard_wand if s == "wand" else _score_shard_dense
+            plans.append((ts, idf_map, fn))
+
+        union_terms = sorted({t for ts, _, _ in plans for t in ts})
+        if not union_terms:
+            return spark.createDataFrame([], BATCH_TOPK_SCHEMA)
+        seg = self.seg.filter(F.col("term").isin(union_terms))
+        if not self._shard_partitioned:
+            seg = seg.repartition(F.col("shard"))
+        seg = seg.join(self.sidecar, "shard", "inner")
+
+        def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            for shard, grp in pdf.groupby("shard"):
+                base, dl_bytes, deleted = _sidecar_of(grp)
+                for qi, (ts, idf_map, fn) in enumerate(plans):
+                    if not ts:
+                        continue
+                    sub = grp[grp["term"].isin(ts)]
+                    if sub.empty:
+                        continue
+                    out = fn(sub, idf_map, avgdl, k, base, dl_bytes, deleted)
+                    if len(out):
+                        out.insert(0, "query_id", np.int32(qi))
+                        yield out
+
+        from pyspark.sql import Window
+
+        local = seg.mapInPandas(score_partition, BATCH_TOPK_SCHEMA)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
 
 
 def query_topk(

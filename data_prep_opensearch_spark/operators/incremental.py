@@ -63,9 +63,19 @@ def add_documents(
     manifest swap. Serialized by the per-index writer lock.
     """
     from data_prep_opensearch_spark.operators import manifest as mf
+    from data_prep_opensearch_spark.operators.cancellation import (
+        cancel_requested,
+        consume_cancel,
+    )
     from data_prep_opensearch_spark.operators.locks import index_lock
 
     with index_lock(index_dir, purpose="add_documents"):
+        # cooperative cancel (I5): an add is ONE commit group, so entry is
+        # its only safe point
+        if cancel_requested(index_dir):
+            consume_cancel(index_dir)
+            return {"status": "interrupted", "cancelled": True,
+                    "generation": None, "docs_added": 0}
         return _add_documents_locked(spark, index_dir, new_docs, mf)
 
 
@@ -237,7 +247,12 @@ def delete_documents(spark: SparkSession, index_dir: str, doc_ids: DataFrame) ->
 
 
 def load_tombstones(spark: SparkSession, index_dir: str) -> dict[int, np.ndarray]:
-    """{shard: sorted int64 docIDs} — empty dict if none."""
+    """{shard: sorted int64 docIDs} — empty dict if none.
+
+    DRIVER-SIDED by design: a small-scale diagnostic/test helper. The
+    engine and merge paths use ``masked_doc_ids_per_shard`` (a per-shard
+    DataFrame joined by shard) so masked ids never funnel through the
+    driver — at 10^12 docs the tombstone set alone can be GBs."""
     tomb_dir = os.path.join(index_dir, "tombstones")
     if not os.path.exists(tomb_dir):
         return {}
@@ -249,3 +264,39 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> dict[int, np.ndarray
     for shard, grp in pd.Series(ids).groupby(ids // SHARD_WIDTH):
         out[int(shard)] = grp.to_numpy(dtype=np.int64)
     return out
+
+
+def masked_doc_ids_per_shard(
+    spark: SparkSession, index_dir: str, include_superseded: bool = False
+) -> DataFrame | None:
+    """Distributed masked-id sidecar: one row per shard with a SORTED
+    distinct ``deleted: array<long>`` of docIDs to mask (tombstones,
+    plus superseded versions when ``include_superseded``). Returns None
+    when no masking source exists.
+
+    This is the scale path the round-2 review asked for: the id set is
+    grouped per shard WORKER-side and joined onto the segment rows by
+    shard — it never transits the driver, so thousands of shards with
+    large tombstone sets cost one shuffle, not driver memory."""
+    parts: list[DataFrame] = []
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_dir):
+        parts.append(
+            spark.read.parquet(tomb_dir).select(F.col("doc_id").cast("long"))
+        )
+    if include_superseded:
+        parts.append(
+            superseded_doc_ids(spark, index_dir).select(
+                F.col("doc_id").cast("long")
+            )
+        )
+    if not parts:
+        return None
+    ids = parts[0]
+    for p in parts[1:]:
+        ids = ids.unionByName(p)
+    return (
+        ids.withColumn("shard", F.shiftright("doc_id", SHARD_WIDTH.bit_length() - 1).cast("int"))
+        .groupBy("shard")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("deleted"))
+    )

@@ -747,8 +747,25 @@ def _build_index_locked(
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
 
+    from data_prep_opensearch_spark.operators.cancellation import (
+        cancel_requested,
+        consume_cancel,
+    )
+
+    done_this_run: list[int] = []
     try:
         for g in todo:
+            # cooperative cancel (I5): between commit groups is the safe
+            # point — the previous group is atomically committed, this one
+            # has not started. The flag is consumed so the next run
+            # (resume) starts clean.
+            if cancel_requested(index_dir):
+                consume_cancel(index_dir)
+                return {
+                    "status": "interrupted",
+                    "cancelled": True,
+                    "groups_done": sorted(done_groups | set(done_this_run)),
+                }
             t0 = time.monotonic()
             runs_dir = os.path.join(index_dir, "staged", f"group={g}")
             run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
@@ -793,6 +810,7 @@ def _build_index_locked(
                      int((time.monotonic() - t0) * 1000), "complete"),
                 )
                 shutil.rmtree(kind0, ignore_errors=True)
+                done_this_run.append(g)
                 continue
 
             gdocs = docs.filter(F.col("group_id") == g)
@@ -885,6 +903,7 @@ def _build_index_locked(
             # posting runs served their purpose; the kind=1 stats stay (the
             # manifest references them in place)
             shutil.rmtree(kind0, ignore_errors=True)
+            done_this_run.append(g)
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
 

@@ -95,6 +95,108 @@ def extract_features(media: DataFrame, codec: FakeCodec | None = None) -> DataFr
     )
 
 
+TEXT_DETECT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("has_pk_header", T.BooleanType(), False),
+    T.StructField("n_nul", T.LongType(), False),
+    T.StructField("nonprintable_ratio", T.DoubleType(), False),
+    T.StructField("is_binary", T.BooleanType(), False),
+])
+
+# printable whitelist: 0x20-0x7E plus TAB/LF/CR — the reference's
+# byte-class test (stages/enricher/utils.py:206-213)
+_PRINTABLE = np.zeros(256, dtype=bool)
+_PRINTABLE[32:127] = True
+_PRINTABLE[[9, 10, 13]] = True
+NONPRINTABLE_MAX_RATIO = 0.05
+_PK_HEADER = b"PK\x03\x04"
+
+
+def detect_binary_payloads(
+    df: DataFrame, payload_col: str = "payload", key: str = "media_id"
+) -> DataFrame:
+    """Binary-payload text detector (P10 — the standard training-data
+    garbage filter; reference stages/enricher/utils.py:194-216): a
+    payload is binary when it starts with the PK zip header, contains a
+    NUL byte, or is more than 5% nonprintable bytes (printable = ASCII
+    0x20-0x7E plus TAB/LF/CR). Arrow-batched; byte counting is numpy
+    (frombuffer + boolean-mask sum), never per-byte Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, pks, nuls, ratios, bins = [], [], [], [], [], []
+            for mid, payload in zip(pdf[key], pdf[payload_col]):
+                raw = bytes(payload)
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                n = arr.size
+                pk = raw[:4] == _PK_HEADER
+                n_nul = int((arr == 0).sum())
+                ratio = (float((~_PRINTABLE[arr]).sum()) / n) if n else 0.0
+                ids.append(int(mid))
+                sizes.append(n)
+                pks.append(pk)
+                nuls.append(n_nul)
+                ratios.append(round(ratio, 6))
+                bins.append(pk or n_nul > 0 or ratio > NONPRINTABLE_MAX_RATIO)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "has_pk_header": pks,
+                "n_nul": pd.Series(nuls, dtype="int64"),
+                "nonprintable_ratio": pd.Series(ratios, dtype="float64"),
+                "is_binary": bins,
+            })
+
+    return df.select(key, payload_col).mapInPandas(run, TEXT_DETECT_SCHEMA)
+
+
+# fixed text blocks for the synthetic payload table — module constants so
+# the SQL oracle can embed their exact lengths/compositions
+_PAYLOAD_TEXT = "def f():\n    return 1\n"
+_PAYLOAD_CRLF = "line1\r\n\tline2 "
+_PAYLOAD_CONF = "config " * 5
+_PAYLOAD_PK_TAIL = "README text content "
+
+
+def synthetic_payloads_df(spark, n: int = 100) -> DataFrame:
+    """Deterministic mixed text/binary payload table for the P10 detector:
+    case i%5 == 0 -> PK-header file, 1 -> clean ASCII source text,
+    2 -> text with embedded NULs, 3 -> repeated sha256 digest (random
+    bytes), 4 -> text with CRLF/TAB whitespace. Cases 1 and 4 are TEXT;
+    0, 2, 3 are BINARY — each through a different rule."""
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                case = i % 5
+                if case == 0:
+                    payload = _PK_HEADER + (
+                        _PAYLOAD_PK_TAIL * (1 + i % 3)
+                    ).encode()
+                elif case == 1:
+                    payload = (_PAYLOAD_TEXT * (1 + i % 4)).encode()
+                elif case == 2:
+                    payload = _PAYLOAD_CONF.encode() + b"\x00\x00"
+                elif case == 3:
+                    payload = hashlib.sha256(f"bin{i}".encode()).digest() * (
+                        2 + i % 3
+                    )
+                else:
+                    payload = (_PAYLOAD_CRLF * (2 + i % 2)).encode()
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, schema)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes) so the
     plumbing is testable end-to-end without real files."""

@@ -76,9 +76,25 @@ def _merge_locked(
         if tombs:
             bc_tombs = spark.sparkContext.broadcast(tombs)
 
+    from data_prep_opensearch_spark.operators.cancellation import (
+        cancel_requested,
+        consume_cancel,
+    )
+
     passes = 0
     force_full_pass = bc_tombs is not None  # deletes must touch every row
     while True:
+        # cooperative cancel (I5): between merge passes each completed
+        # pass is already manifest-committed; stopping here leaves a
+        # valid (just less-merged) index
+        if cancel_requested(index_dir):
+            consume_cancel(index_dir)
+            return {
+                "status": "interrupted",
+                "cancelled": True,
+                "passes": passes,
+                "generations": mf.live_gens(m),
+            }
         gens = mf.live_gens(m)
         if not gens or (len(gens) <= 1 and not force_full_pass):
             break

@@ -1356,8 +1356,250 @@ def str_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Nested-map translations (J6/O5): per-language version-wins merge +
+# churn-immune canonical fingerprint — reference translations.py:77-137
+# ---------------------------------------------------------------------------
+
+_TRANS_ENTRY_JSON = (
+    """'{{"_source_version":' || {v} || ',"_status":"' || {s} || '","title":"' || {t} || '"}}'"""
+)
+
+
+def _translations_sql() -> str:
+    """Oracle: rebuilds the merged lang->entry block per doc AND the
+    engine's canonical-JSON sha256 (sorted langs, sorted entry fields,
+    ``_updated_ts`` excluded) by string construction — the test values
+    contain no JSON-escapable characters, so concat IS the canonical
+    serialization."""
+    e = _TRANS_ENTRY_JSON.format
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             'en-title-' || CAST(doc_id AS VARCHAR) AS cur_en_title,
+             doc_id % 5 + 3 AS cur_en_ver,
+             (doc_id % 3 = 0) AS has_de,
+             'de-title-' || CAST(doc_id AS VARCHAR) AS de_title,
+             (doc_id % 2 = 0) AS has_inc,
+             (doc_id % 10 = 0) AS churn_resend,
+             'fr-title-' || CAST(doc_id AS VARCHAR) AS fr_title
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, has_de, de_title, has_inc, fr_title,
+             CASE WHEN churn_resend THEN cur_en_ver ELSE doc_id % 7 + 1 END AS inc_en_ver,
+             CASE WHEN churn_resend THEN cur_en_title
+                  ELSE 'en-new-' || CAST(doc_id AS VARCHAR) END AS inc_en_title,
+             CASE WHEN churn_resend THEN '2025-06-01T00:00:00Z'
+                  ELSE '2025-01-01T00:00:00Z' END AS inc_en_ts,
+             cur_en_title, cur_en_ver
+      FROM base
+    ),
+    merged AS (
+      SELECT doc_id, has_de, de_title, has_inc, fr_title,
+             CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
+                  THEN inc_en_title ELSE cur_en_title END AS en_title,
+             CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
+                  THEN inc_en_ver ELSE cur_en_ver END AS en_ver,
+             CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
+                  THEN inc_en_ts ELSE '2024-01-01T00:00:00Z' END AS en_ts
+      FROM m
+    ),
+    fp AS (
+      SELECT doc_id,
+             sha256('{{' || concat_ws(',',
+               CASE WHEN has_de THEN '"de":' ||
+                 {e(v="'2'", s="'draft'", t="de_title")} END,
+               '"en":' || {e(v="CAST(en_ver AS VARCHAR)", s="'published'", t="en_title")},
+               CASE WHEN has_inc THEN '"fr":' ||
+                 {e(v="'1'", s="'draft'", t="fr_title")} END
+             ) || '}}') AS map_fp,
+             TRUE AS churn_immune
+      FROM merged
+    )
+    SELECT r.doc_id, r.lang, r.title, r._status, r._source_version,
+           r._updated_ts, fp.map_fp, fp.churn_immune
+    FROM (
+      SELECT doc_id, 'en' AS lang, en_title AS title,
+             'published' AS _status, en_ver AS _source_version,
+             en_ts AS _updated_ts
+      FROM merged
+      UNION ALL
+      SELECT doc_id, 'de', de_title, 'draft', 2, '2024-02-01T00:00:00Z'
+      FROM merged WHERE has_de
+      UNION ALL
+      SELECT doc_id, 'fr', fr_title, 'draft', 1, '2025-01-01T00:00:00Z'
+      FROM merged WHERE has_inc
+    ) r JOIN fp USING (doc_id)
+    """
+
+
+@register(
+    "rel_translations_merge",
+    _translations_sql(),
+    covers=["J6 nested-map translations merge (per-language "
+            "highest-version-wins, incoming wins ties — "
+            "translations.py:118-121)",
+            "F7/F8 canonical recursive fingerprint, _updated_ts-churn-"
+            "immune (translations.py:126-137, fingerprints.py:33-46)"],
+)
+def rel_translations_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.translations import (
+        merge_translation_maps,
+        translations_fp,
+    )
+
+    def entry(title, status, ver, ts):
+        return F.struct(
+            title.alias("title"),
+            F.lit(status).alias("_status"),
+            ver.cast("long").alias("_source_version"),
+            ts.alias("_updated_ts"),
+        )
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    cur = ids.withColumn(
+        "translations",
+        F.map_filter(
+            F.create_map(
+                F.lit("en"),
+                entry(F.concat(F.lit("en-title-"), d), "published",
+                      d % 5 + 3, F.lit("2024-01-01T00:00:00Z")),
+                F.lit("de"),
+                F.when(d % 3 == 0, entry(
+                    F.concat(F.lit("de-title-"), d), "draft",
+                    F.lit(2), F.lit("2024-02-01T00:00:00Z"))),
+            ),
+            lambda k, v: v.isNotNull(),
+        ),
+    )
+    churn = d % 10 == 0  # identical content re-sent with a newer timestamp
+    inc = ids.filter(d % 2 == 0).withColumn(
+        "inc_translations",
+        F.create_map(
+            F.lit("en"),
+            entry(
+                F.when(churn, F.concat(F.lit("en-title-"), d))
+                .otherwise(F.concat(F.lit("en-new-"), d)),
+                "published",
+                F.when(churn, d % 5 + 3).otherwise(d % 7 + 1),
+                F.when(churn, F.lit("2025-06-01T00:00:00Z"))
+                .otherwise(F.lit("2025-01-01T00:00:00Z")),
+            ),
+            F.lit("fr"),
+            entry(F.concat(F.lit("fr-title-"), d), "draft",
+                  F.lit(1), F.lit("2025-01-01T00:00:00Z")),
+        ),
+    )
+    merged = (
+        cur.join(inc, "doc_id", "left")
+        .withColumn(
+            "merged",
+            merge_translation_maps(
+                F.col("translations"), F.col("inc_translations")
+            ),
+        )
+        .withColumn("map_fp", translations_fp(F.col("merged")))
+        # churn immunity, asserted per row: bumping every _updated_ts
+        # must not move the fingerprint
+        .withColumn(
+            "fp_bumped",
+            translations_fp(F.transform_values(
+                F.col("merged"),
+                lambda k, v: v.withField("_updated_ts", F.lit("2099-01-01")),
+            )),
+        )
+        .withColumn("churn_immune", F.col("map_fp") == F.col("fp_bumped"))
+    )
+    return merged.select(
+        "doc_id", F.explode("merged").alias("lang", "entry"),
+        "map_fp", "churn_immune",
+    ).select(
+        "doc_id", "lang",
+        F.col("entry.title").alias("title"),
+        F.col("entry._status").alias("_status"),
+        F.col("entry._source_version").alias("_source_version"),
+        F.col("entry._updated_ts").alias("_updated_ts"),
+        "map_fp", "churn_immune",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (synthetic payloads; full byte-histogram oracle)
 # ---------------------------------------------------------------------------
+
+def _binary_detect_sql() -> str:
+    """Analytic oracle for the P10 detector: the synthetic payload table's
+    five cases have byte compositions computable in portable SQL (fixed
+    text blocks -> literal lengths; the digest case recovers each byte
+    from DuckDB's sha256 hex and counts nonprintables directly)."""
+    from data_prep_opensearch_spark.operators.multimodal import (
+        _PAYLOAD_CONF,
+        _PAYLOAD_CRLF,
+        _PAYLOAD_PK_TAIL,
+        _PAYLOAD_TEXT,
+    )
+
+    l_tail, l_text = len(_PAYLOAD_PK_TAIL), len(_PAYLOAD_TEXT)
+    l_conf, l_crlf = len(_PAYLOAD_CONF), len(_PAYLOAD_CRLF)
+    byte_j = (
+        "((strpos('0123456789abcdef', substr(hx, CAST(2*j+1 AS INT), 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(hx, CAST(2*j+2 AS INT), 1)) - 1))"
+    )
+    digest_nonpr = (
+        f"list_sum(list_transform(range(0, 32), j -> CASE WHEN NOT "
+        f"(({byte_j} BETWEEN 32 AND 126) OR {byte_j} IN (9, 10, 13)) "
+        f"THEN 1 ELSE 0 END))"
+    )
+    digest_nul = (
+        f"list_sum(list_transform(range(0, 32), j -> "
+        f"CASE WHEN {byte_j} = 0 THEN 1 ELSE 0 END))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT i AS media_id, i % 5 AS c,
+             sha256('bin' || CAST(i AS VARCHAR)) AS hx,
+             1 + i % 3 AS rep_pk, 1 + i % 4 AS rep_txt,
+             2 + i % 3 AS rep_dig, 2 + i % 2 AS rep_crlf
+      FROM range(100) t(i)
+    ),
+    feats AS (
+      SELECT media_id,
+        CAST(CASE c WHEN 0 THEN 4 + {l_tail} * rep_pk
+                    WHEN 1 THEN {l_text} * rep_txt
+                    WHEN 2 THEN {l_conf} + 2
+                    WHEN 3 THEN 32 * rep_dig
+                    ELSE {l_crlf} * rep_crlf END AS BIGINT) AS n_bytes,
+        (c = 0) AS has_pk_header,
+        CAST(CASE c WHEN 2 THEN 2
+                    WHEN 3 THEN rep_dig * {digest_nul}
+                    ELSE 0 END AS BIGINT) AS n_nul,
+        CASE c WHEN 0 THEN 2.0 / (4 + {l_tail} * rep_pk)
+               WHEN 2 THEN 2.0 / {l_conf + 2}
+               WHEN 3 THEN {digest_nonpr} / 32.0
+               ELSE 0.0 END AS ratio
+      FROM d
+    )
+    SELECT media_id, n_bytes, has_pk_header, n_nul,
+           round(ratio, 6) AS nonprintable_ratio,
+           (has_pk_header OR n_nul > 0 OR ratio > 0.05) AS is_binary
+    FROM feats
+    """
+
+
+@register(
+    "mm_binary_detect",
+    _binary_detect_sql(),
+    covers=["P10 binary-payload text detector (PK header / NUL / "
+            "nonprintable ratio — stages/enricher/utils.py:194-216)"],
+)
+def mm_binary_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.multimodal import (
+        detect_binary_payloads,
+        synthetic_payloads_df,
+    )
+
+    return detect_binary_payloads(synthetic_payloads_df(spark, 100))
 
 _MM_FEATURE_SQL = ", ".join(
     f"round(len(list_filter(range(1, 33), "

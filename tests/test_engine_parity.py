@@ -62,3 +62,39 @@ def test_avgdl_matches_oracle(built_index, oracle_index):
 def test_empty_query(spark, built_index):
     d, _ = built_index
     assert query_topk(spark, d, "!!! ...", 10).count() == 0
+
+
+def test_topk_batch_parity(spark, built_index):
+    """topk_batch must return per-query results identical to topk —
+    same docIDs, same scores — for the whole reference set in one job."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    qs = [q["query"] for q in reference_query_set()]
+    k = 10
+    batched = eng.topk_batch(qs, k).collect()
+    by_q: dict[int, list] = {}
+    for r in batched:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["doc_id"], r["score"])
+        )
+    for qi, q in enumerate(qs):
+        single = [
+            (r["doc_id"], r["score"]) for r in eng.topk(q, k).collect()
+        ]
+        got = sorted(by_q.get(qi, []), key=lambda x: (-x[1], x[0]))
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in single], (qi, q)
+        for (gd, gs), (sd, ss) in zip(got, single):
+            assert abs(gs - ss) <= 1e-12, (qi, q, gd, gs, ss)
+
+
+def test_topk_batch_empty_and_mixed(spark, built_index):
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=False)
+    rows = eng.topk_batch(["zzz_nonexistent_term", "import"], 5).collect()
+    qids = {int(r["query_id"]) for r in rows}
+    assert qids == {1}
+    assert len([r for r in rows if r["query_id"] == 1]) == 5

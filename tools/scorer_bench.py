@@ -75,6 +75,17 @@ def main() -> None:
             continue
         idf_map = {t: bm25.idf(n, dfs[t]) for t in terms}
         pdf = eng.seg.filter(eng.seg.term.isin(terms)).toPandas()
+        # kernel bench runs scorers driver-side on decoded segments, so a
+        # local sidecar lookup here is by design (the engine itself joins
+        # the sidecar distributedly)
+        side = {
+            int(r["shard"]): (
+                int(r["base"]), bytes(r["dl_bytes"]),
+                None if r["deleted"] is None else
+                __import__("numpy").asarray(r["deleted"], dtype="int64"),
+            )
+            for r in eng.sidecar.collect()
+        }
         walls = {"wand": [], "dense": []}
         for name, fn in (("wand", bm25._score_shard_wand),
                          ("dense", bm25._score_shard_dense)):
@@ -83,7 +94,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 outs = []
                 for shard, grp in pdf.groupby("shard"):
-                    base, dl_bytes, deleted = eng.bc_doclens.value[int(shard)]
+                    base, dl_bytes, deleted = side[int(shard)]
                     outs.append(fn(grp, idf_map, avgdl, 10, base, dl_bytes, deleted))
                 walls[name].append(time.perf_counter() - t0)
                 out_all = outs
