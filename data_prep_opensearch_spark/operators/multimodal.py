@@ -197,6 +197,40 @@ def synthetic_payloads_df(spark, n: int = 100) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema)
 
 
+def media_eligibility(
+    media: DataFrame,
+    max_file_size_bytes: int = 300,
+    max_image_dim: int = 400,
+    max_media_duration_sec: int = 45,
+) -> DataFrame:
+    """P7 eligibility guardrails over TYPED media metadata — the
+    reference's size / image-dimension / media-duration caps
+    (api/mysql_store.py:801-838), as an ordered when-chain (first failing
+    rule names the reason; the text-size axis lives in rel_eligibility).
+    Pure JVM expressions; at scale this is a codegen'd scan predicate."""
+    size = F.length(F.col("payload"))
+    dim = F.greatest(F.col("width"), F.col("height"))
+    reason = (
+        F.when(size > max_file_size_bytes, F.lit("file_too_large"))
+        .when(
+            (F.col("kind") == "image") & (dim > max_image_dim),
+            F.lit("image_dimension_limit"),
+        )
+        .when(
+            F.col("kind").isin("audio", "video")
+            & (F.col("duration_ms") > max_media_duration_sec * 1000),
+            F.lit("media_duration_limit"),
+        )
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        size.cast("long").alias("n_bytes"),
+        F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("eligible"),
+        reason.alias("reason"),
+    )
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes) so the
     plumbing is testable end-to-end without real files."""

@@ -206,7 +206,9 @@ def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # cache key includes the package version so a stale on-disk index from
     # an older format is never reused across rounds
-    tag = hashlib.sha256(f"{sf_dir}@{pkg.__version__}".encode()).hexdigest()[:12]
+    tag = hashlib.sha256(
+        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         src = load(spark, sf_dir, "documents").select(
@@ -303,7 +305,9 @@ def ft_engine_latest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import data_prep_opensearch_spark as pkg
 
-    tag = hashlib.sha256(f"latest:{sf_dir}@{pkg.__version__}".encode()).hexdigest()[:12]
+    tag = hashlib.sha256(
+        f"latest:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         d = load(spark, sf_dir, "documents")
@@ -1585,6 +1589,45 @@ def _binary_detect_sql() -> str:
            (has_pk_header OR n_nul > 0 OR ratio > 0.05) AS is_binary
     FROM feats
     """
+
+
+@register(
+    "mm_eligibility",
+    """
+    WITH d AS (
+      SELECT i AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(32 * (4 + i % 7) AS BIGINT) AS n_bytes,
+             64 + i % 512 AS width, 64 + (i * 3) % 512 AS height,
+             1000 * (1 + i % 60) AS duration_ms
+      FROM range(64) t(i)
+    ),
+    r AS (
+      SELECT media_id, kind, n_bytes,
+             CASE
+               WHEN n_bytes > 300 THEN 'file_too_large'
+               WHEN kind = 'image'
+                    AND greatest(width, height) > 400 THEN 'image_dimension_limit'
+               WHEN kind IN ('audio', 'video')
+                    AND duration_ms > 45000 THEN 'media_duration_limit'
+             END AS reason
+      FROM d
+    )
+    SELECT media_id, kind, n_bytes,
+           CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS eligible, reason
+    FROM r
+    """,
+    covers=["P7 eligibility guardrails over typed media metadata "
+            "(file-size / image-dim / duration caps — "
+            "api/mysql_store.py:801-838)"],
+)
+def mm_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.operators.multimodal import (
+        media_eligibility,
+        synthetic_media_df,
+    )
+
+    return media_eligibility(synthetic_media_df(spark, 64))
 
 
 @register(
