@@ -360,10 +360,16 @@ def main() -> None:
     from data_prep_opensearch_spark.plans.queries import REGISTRY
 
     meter = _StreamMeter()  # affines us to cpus 0..n-2 BEFORE the JVM spawns
-    spark = get_spark(app_name="bench_queries", cores=CPUS)
+    # RAM-backed spark.local.dir: the query section's shuffle spills
+    # otherwise land on the sandbox disk, whose co-tenant IO bursts are
+    # INVISIBLE to the cpu steal-meter (r3 observed 3-5x walls on
+    # shuffle-heavy queries with a clean meter — disk, not cpu)
+    qscratch = tempfile.mkdtemp(prefix="bench_qlocal_", dir=_scratch_root())
+    spark = get_spark(app_name="bench_queries", cores=CPUS,
+                      extra_conf={"spark.local.dir": qscratch})
     _warm_workers(spark, CPUS)
 
-    idx_dir = tempfile.mkdtemp(prefix="bench_qidx_")
+    idx_dir = tempfile.mkdtemp(prefix="bench_qidx_", dir=_scratch_root())
     try:
         build_index(spark, spark.read.parquet(corpus_dir), idx_dir,
                     n_shards=N_SHARDS, n_groups=1)
@@ -389,6 +395,19 @@ def main() -> None:
             }
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # engine-backed queries build-and-cache a /tmp index on first touch
+    # (keyed by package + index-format version). Warm them UNTIMED so the
+    # timed number is "query a built index" — the build itself is
+    # benchmarked in section 1; without this, a version bump makes the
+    # recorded wall a one-off cold build (r2->r3: 1.6s -> 15.8s artifact).
+    for name in ("ft_bm25_engine_topk", "ft_engine_latest_prune"):
+        if name in REGISTRY:
+            try:
+                REGISTRY[name].fn(spark, SF_DIR).count()
+            except Exception:
+                pass
+    result["engine_queries_prewarmed"] = True
 
     queries: dict[str, float] = {}
     query_meter: dict[str, float] = {}
@@ -426,6 +445,8 @@ def main() -> None:
             "rate = external-contention proxy per query window"
         )
     result["value"] = round(total, 3)
+    spark.stop()
+    shutil.rmtree(qscratch, ignore_errors=True)
 
     print(json.dumps(result))
 

@@ -159,8 +159,15 @@ class BM25Engine:
 
         self._shard_partitioned = cache
         if cache:
+            # one cached partition per CORE, not per shard: a shard-count
+            # of partitions makes every warm query schedule n_shards
+            # tasks (128-shard index on 32 cores = 4 waves of pure
+            # scheduling overhead — measured 3x the warm p50). Multiple
+            # shards hash into one partition; score_partition already
+            # groups by shard within a partition. Sidecar uses the SAME
+            # partitioner, so the per-query join stays exchange-free.
             n_part = min(
-                max(spark.sparkContext.defaultParallelism, self.meta["n_shards"]),
+                max(spark.sparkContext.defaultParallelism, 1),
                 self.meta["n_shards"],
             )
             self.seg = seg.repartition(n_part, "shard").cache()

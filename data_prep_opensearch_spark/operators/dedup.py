@@ -139,15 +139,27 @@ def minhash_signatures(
     """MinHash signature rows (key, seed, minhash) via the portable
     lexicographic-min-of-md5 construction:
         h_s(shingle) = md5(concat(s, ':', shingle));  sig_s = min over shingles.
-    One explode + one groupBy — linear, shuffle = (docs × seeds) rows.
-    """
+
+    Shuffle shape: the round-2 version cross-joined shingles × seeds and
+    shuffled (docs × seeds) grouped rows. Same VALUES here with the seed
+    dimension as n_hashes parallel min-aggregates over ONE shingle pass
+    (map-side partial mins), unpivoted after the shuffle — 16× fewer
+    shuffled rows, identical md5 count, oracle unchanged."""
     sh = shingle_rows(df, text, key)
-    seeds = df.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
-        .groupBy(key, "seed")
-        .agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"_m{s}")
+        for s in range(n_hashes)
+    ]
+    wide = sh.groupBy(key).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(s).cast("int").alias("seed"),
+            F.col(f"_m{s}").alias("minhash"),
+        )
+        for s in range(n_hashes)
+    ])
+    return wide.select(F.col(key), F.explode(pairs).alias("_sm")).select(
+        key, F.col("_sm.seed").alias("seed"), F.col("_sm.minhash").alias("minhash")
     )
 
 

@@ -194,7 +194,10 @@ def synthetic_payloads_df(spark, n: int = 100) -> DataFrame:
                 rows.append((i, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    return spark.range(n).mapInPandas(gen, schema)
+    # few, explicit partitions: these synthetic tables are small, and a
+    # default-parallelism range spawns one python worker per core for a
+    # 100-row table (measured seconds of pure worker startup)
+    return spark.range(0, n, 1, min(8, n)).mapInPandas(gen, schema)
 
 
 def media_eligibility(
@@ -251,4 +254,4 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(0, n, 1, min(8, n)).mapInPandas(gen, MEDIA_SCHEMA)
