@@ -267,3 +267,48 @@ def tokens_col(col: Column) -> Column:
     """JVM-side 'simple' tokenizer: lowercase [a-z0-9_]+ runs. Matches
     functions.tokenize.tokenize_simple exactly (same character class)."""
     return F.regexp_extract_all(F.lower(col), F.lit("([a-z0-9_]+)"), 1)
+
+
+# office-zip content markers the reference checks after a PK header
+# (stages/enricher/utils.py:200-209)
+_ZIP_MARKERS = (
+    "[Content_Types].xml", "ppt/", "word/", "xl/", "docProps/", "_rels/",
+)
+# control chars with ord<32 minus \t\n\r — the reference's nonprintable
+# class for TEXT (unicode letters do NOT count; utils.py:213)
+_NONPRINTABLE_TEXT_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def looks_like_binary_text(col: Column) -> Column:
+    """TEXT-variant binary detector (stages/enricher/utils.py:194-216):
+    a string column that is really an un-decoded binary payload. Rules,
+    over the first 4096 chars: PK zip header + an office marker; any NUL
+    or U+FFFD replacement char; or >5% control chars (ord<32 excluding
+    tab/newline/CR). Pure JVM expressions (substring/locate/regexp) —
+    a codegen'd scan predicate at any scale. The BYTES variant is
+    operators.multimodal.detect_binary_payloads."""
+    sample = F.substring(col, 1, 4096)
+    marker_hit = None
+    for m in _ZIP_MARKERS[:-1]:
+        hit = F.locate(m, sample) > 0
+        marker_hit = hit if marker_hit is None else (marker_hit | hit)
+    pk_office = sample.startswith("PK\x03\x04") & marker_hit
+    has_nul = (F.locate("\x00", sample) > 0) | (F.locate("�", sample) > 0)
+    n_ctrl = F.length(
+        F.regexp_replace(sample, f"[^{_NONPRINTABLE_TEXT_RE[1:-1]}]", "")
+    )
+    ratio_hit = n_ctrl / F.greatest(F.length(sample), F.lit(1)) > 0.05
+    return col.isNotNull() & (F.length(sample) > 0) & (
+        pk_office | has_nul | ratio_hit
+    )
+
+
+def is_placeholder_content(col: Column) -> Column:
+    """P11 placeholder-content predicate (stages/enricher/utils.py:
+    1142-1146): null, binary-looking text, empty after trim, or the
+    literal 'no content present' sentinel."""
+    return (
+        col.isNull()
+        | looks_like_binary_text(col)
+        | F.lower(F.trim(col)).isin("", "no content present")
+    )

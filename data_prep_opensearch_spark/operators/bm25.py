@@ -227,9 +227,12 @@ class BM25Engine:
             # cold path: co-locate each shard's rows (the filtered set is
             # tiny — <= |terms| rows per shard — so this shuffle is cheap)
             seg = seg.repartition(F.col("shard"))
-        # per-shard sidecar join, colocated on the warm path (both sides
-        # cached hash-partitioned on shard — no exchange; .explain shows
-        # only sorts above the cached scans)
+        # per-shard sidecar join: no full-corpus shuffle on any path.
+        # At sandbox scale Catalyst broadcasts the (tiny, cached) sidecar
+        # per query (PLANS.md §warm: InMemoryTableScan -> BHJ -> mapInPandas
+        # -> TakeOrdered, zero data shuffles); past the broadcast threshold
+        # (thousands of shards x ~MB dl_bytes) it falls back to a join on
+        # the two caches' SHARED hash partitioning — still exchange-free.
         seg = seg.join(self.sidecar, "shard", "inner")
 
         def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -68,13 +68,18 @@ def _merge_locked(
 
     dl = mf.read_doclens(spark, index_dir).select("shard", "dl_bytes")
 
-    bc_tombs = None
+    # masked ids as a per-shard DataFrame joined by shard (never a
+    # driver-side dict: at 10^12 docs the tombstone set alone can be GBs
+    # — same discipline as BM25Engine's sidecar)
+    masked = None
     if apply_deletes:
-        from data_prep_opensearch_spark.operators.incremental import load_tombstones
+        from data_prep_opensearch_spark.operators.incremental import (
+            masked_doc_ids_per_shard,
+        )
 
-        tombs = load_tombstones(spark, index_dir)
-        if tombs:
-            bc_tombs = spark.sparkContext.broadcast(tombs)
+        masked = masked_doc_ids_per_shard(spark, index_dir)
+        if masked is not None and masked.isEmpty():
+            masked = None
 
     from data_prep_opensearch_spark.operators.cancellation import (
         cancel_requested,
@@ -82,7 +87,7 @@ def _merge_locked(
     )
 
     passes = 0
-    force_full_pass = bc_tombs is not None  # deletes must touch every row
+    force_full_pass = masked is not None  # deletes must touch every row
     while True:
         # cooperative cancel (I5): between merge passes each completed
         # pass is already manifest-committed; stopping here leaves a
@@ -121,8 +126,8 @@ def _merge_locked(
         to_merge = spark.read.parquet(
             *[os.path.join(index_dir, e["path"]) for e in src]
         )
-        merged = _merge_generation_df(to_merge, dl, next_gen, bc_tombs)
-        bc_tombs = None  # applied in the (full) first pass
+        merged = _merge_generation_df(to_merge, dl, next_gen, masked)
+        masked = None  # applied in the (full) first pass
         rel = f"seg_merged_g{next_gen}"
         merged.write.mode("overwrite").parquet(os.path.join(index_dir, rel))
 
@@ -193,14 +198,21 @@ def _vacuum_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> None:
     meta["avgdl"] = float(agg["a"] or 0.0)
 
 
-def _merge_generation_df(to_merge, doclens, next_gen: int, bc_tombs=None):
+def _merge_generation_df(to_merge, doclens, next_gen: int, masked=None):
     """Decode -> last-wins merge [-> drop tombstoned docs] -> re-encode
     each (term, shard) group.
 
     Needs per-shard doclens to rebuild block_min_dl for merged blocks, so
-    the (small) doclen sidecar is broadcast-joined in.
+    the doclen sidecar is joined in by shard; the masked-id sidecar (when
+    deletes apply) rides the same join — both are one row per shard, so
+    the shuffle the repartition below already pays covers them. The
+    broadcast hint is a sandbox-scale optimization, not a correctness
+    dependency; thousands-of-shards deployments drop it and the join
+    co-partitions with the repartition.
     """
     joined = to_merge.join(F.broadcast(doclens), "shard")
+    if masked is not None:
+        joined = joined.join(F.broadcast(masked), "shard", "left")
 
     def merge_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
@@ -209,6 +221,7 @@ def _merge_generation_df(to_merge, doclens, next_gen: int, bc_tombs=None):
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
+        has_masked = "deleted" in pdf.columns
         rows = []
         for (term, shard), grp in pdf.groupby(["term", "shard"], sort=False):
             base = int(shard) * SHARD_WIDTH
@@ -218,11 +231,15 @@ def _merge_generation_df(to_merge, doclens, next_gen: int, bc_tombs=None):
                     bytes(row.doc_bytes), bytes(row.tf_bytes), base=base
                 ))
             docs, tfs = merge_posting_runs(runs)
-            if bc_tombs is not None:
-                dead = bc_tombs.value.get(int(shard))
-                if dead is not None and dead.size:
-                    alive = ~np.isin(docs, dead, assume_unique=False)
-                    docs, tfs = docs[alive], tfs[alive]
+            if has_masked:
+                dval = grp.iloc[0]["deleted"]
+                if dval is not None and not (
+                    isinstance(dval, float) and pd.isna(dval)
+                ):
+                    dead = np.asarray(dval, dtype=np.int64)
+                    if dead.size:
+                        alive = ~np.isin(docs, dead, assume_unique=False)
+                        docs, tfs = docs[alive], tfs[alive]
             if docs.shape[0] == 0:
                 continue
             dl_arr = vbyte_decode(bytes(grp.iloc[0].dl_bytes)).astype(np.int64)

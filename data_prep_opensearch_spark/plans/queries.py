@@ -1592,6 +1592,67 @@ def _binary_detect_sql() -> str:
 
 
 @register(
+    "ft_placeholder",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN 'no content present'
+          WHEN 1 THEN '   '
+          WHEN 2 THEN substr(text, 1, 40) || chr(1) || chr(2) || chr(3)
+          WHEN 3 THEN 'PK' || chr(3) || chr(4) || 'word/document.xml ' || substr(text, 1, 100)
+          WHEN 4 THEN substr(text, 1, 50) || chr(0) || 'tail'
+          WHEN 5 THEN NULL
+          ELSE text
+        END AS t
+      FROM documents
+    ),
+    rules AS (
+      SELECT doc_id, t, substr(t, 1, 4096) AS s FROM planted
+    )
+    SELECT doc_id,
+      (t IS NULL
+       OR (length(s) > 0 AND (
+            (starts_with(s, 'PK' || chr(3) || chr(4))
+             AND (position('[Content_Types].xml' IN s) > 0
+                  OR position('ppt/' IN s) > 0 OR position('word/' IN s) > 0
+                  OR position('xl/' IN s) > 0 OR position('docProps/' IN s) > 0
+                  OR position('_rels/' IN s) > 0))
+            OR position(chr(0) IN s) > 0
+            OR position('�' IN s) > 0
+            OR 1.0 * length(regexp_replace(s, '[^\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                 / greatest(length(s), 1) > 0.05))
+       OR lower(trim(t)) IN ('', 'no content present')
+      ) AS is_placeholder
+    FROM rules
+    """,
+    covers=["P11 placeholder-content predicate + text-variant binary "
+            "detector (stages/enricher/utils.py:194-216, 1142-1146)"],
+)
+def ft_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.functions.text import is_placeholder_content
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    c = F.col("doc_id") % 7
+    planted = d.withColumn(
+        "t",
+        F.when(c == 0, F.lit("no content present"))
+        .when(c == 1, F.lit("   "))
+        .when(c == 2, F.concat(F.substring("text", 1, 40),
+                               F.lit("\x01\x02\x03")))
+        .when(c == 3, F.concat(F.lit("PK\x03\x04word/document.xml "),
+                               F.substring("text", 1, 100)))
+        .when(c == 4, F.concat(F.substring("text", 1, 50),
+                               F.lit("\x00tail")))
+        .when(c == 5, F.lit(None).cast("string"))
+        .otherwise(F.col("text")),
+    )
+    return planted.select(
+        "doc_id", is_placeholder_content(F.col("t")).alias("is_placeholder")
+    )
+
+
+@register(
     "mm_eligibility",
     """
     WITH d AS (
