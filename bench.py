@@ -409,26 +409,41 @@ def main() -> None:
                 pass
     result["engine_queries_prewarmed"] = True
 
+    # each query runs TWICE; the headline wall is the MIN (same estimator
+    # philosophy as the scaling section: contamination and first-use JVM
+    # warmup — plan analysis + Janino codegen of large generated classes,
+    # measured ~8s on the biggest expression trees — are strictly
+    # additive). The cold first-run wall is recorded alongside.
     queries: dict[str, float] = {}
+    queries_cold: dict[str, float] = {}
     query_meter: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.monotonic()
-        w0 = time.time()
-        try:
-            fn(spark, SF_DIR).count()
-        except Exception as exc:
-            queries[name] = -1.0
-            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+        walls, rates = [], []
+        failed = False
+        for rep in range(2):
+            t0 = time.monotonic()
+            w0 = time.time()
+            try:
+                fn(spark, SF_DIR).count()
+            except Exception as exc:
+                queries[name] = -1.0
+                print(f"bench query {name} failed: {exc}", file=sys.stderr)
+                failed = True
+                break
+            walls.append(time.monotonic() - t0)
+            rates.append(meter.rate(w0, time.time()))
+        if failed:
             continue
-        wall = time.monotonic() - t0
-        r = meter.rate(w0, time.time())
-        if r is not None:
-            query_meter[name] = round(r, 1)
-        queries[name] = round(wall, 3)
-        total += wall
+        best = min(range(2), key=lambda i: walls[i])
+        if rates[best] is not None:
+            query_meter[name] = round(rates[best], 1)
+        queries[name] = round(walls[best], 3)
+        queries_cold[name] = round(walls[0], 3)
+        total += walls[best]
     meter.stop()
+    result["queries_cold"] = queries_cold
     result["queries"] = queries
     if query_meter:
         best = max(query_meter.values())
