@@ -67,7 +67,21 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--docs", type=int, required=True)
     g.add_argument("--out", required=True)
 
+    c = sub.add_parser("cancel")
+    c.add_argument("--index", required=True)
+    c.add_argument("--reason", default="")
+
     args = p.parse_args(argv)
+    if args.cmd == "cancel":
+        # no Spark session needed: the flag is a small file the running
+        # writer polls at its next safe point (operators/cancellation.py)
+        from data_prep_opensearch_spark.operators.cancellation import (
+            request_cancel,
+        )
+
+        request_cancel(args.index, reason=args.reason)
+        print(json.dumps({"cancel_requested": args.index}))
+        return 0
     spark = _spark(f"dposs_{args.cmd}")
 
     if args.cmd == "build":

@@ -70,3 +70,58 @@ def test_sessionize_gap_semantics(spark):
     out = {(r["user_id"], r["session_seq"]): r["n_events"]
            for r in sessionize_batch(df, gap_minutes=30).collect()}
     assert out == {(5, 1): 2, (5, 2): 1, (6, 1): 1}
+
+
+def test_sessionize_stream_stateful_equals_batch(spark, tmp_root):
+    """applyInPandasWithState sessionizer vs the declarative batch twin.
+
+    A far-future sentinel event per user forces every REAL session shut
+    via the gap rule inside the stream (the sentinel's own still-open
+    session is excluded from the comparison on both sides)."""
+    from data_prep_opensearch_spark.streaming.events import sessionize_stream
+
+    events = _events_df(spark)
+    sentinel_ts = "2024-06-01 00:00:00"
+    sentinels = (
+        events.select("user_id").distinct()
+        .withColumn("event_id", F.lit(-1))
+        .withColumn("ts", F.lit(sentinel_ts).cast("timestamp"))
+        .withColumn("event_type", F.lit("sentinel"))
+        .withColumn("value", F.lit(0.0))
+        .select(*events.columns)
+    )
+    all_events = events.unionByName(sentinels)
+    src = os.path.join(tmp_root, "stream_sess_src")
+    all_events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    batch = sessionize_batch(spark.read.parquet(src), gap_minutes=30)
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in batch.collect()
+        if str(r["session_start"]) != sentinel_ts  # open sentinel session
+    }
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(dir=tmp_root)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+    shutil.rmtree(ckpt, ignore_errors=True)
