@@ -154,7 +154,10 @@ def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int) -> DataFrame:
     terms = sorted(set(terms))
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl = Σ tf per doc — derived from the (vocab-sized) tf table, so the
+    # corpus is tokenized+exploded ONCE (Catalyst does not CSE the two
+    # groupBys over `tok`; round-2 plan-audit nit)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count("*").alias("n"), F.avg(1.0 * F.col("dl")).alias("avgdl"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     qdf = docs.sparkSession.createDataFrame([(t,) for t in terms], ["term"])
