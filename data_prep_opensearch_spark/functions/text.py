@@ -289,7 +289,11 @@ def looks_like_binary_text(col: Column) -> Column:
     operators.multimodal.detect_binary_payloads."""
     sample = F.substring(col, 1, 4096)
     marker_hit = None
-    for m in _ZIP_MARKERS[:-1]:
+    # ALL markers count. (The reference's ``markers[:-1]`` slice exists
+    # to skip the PK header it appends as the LAST tuple element of ITS
+    # list — utils.py:200-209; our tuple holds only the six content
+    # markers, so a copied slice would silently drop ``_rels/``.)
+    for m in _ZIP_MARKERS:
         hit = F.locate(m, sample) > 0
         marker_hit = hit if marker_hit is None else (marker_hit | hit)
     pk_office = sample.startswith("PK\x03\x04") & marker_hit

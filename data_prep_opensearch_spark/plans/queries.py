@@ -1599,13 +1599,15 @@ def _binary_detect_sql() -> str:
     r"""
     WITH planted AS (
       SELECT doc_id,
-        CASE doc_id % 7
+        CASE doc_id % 9
           WHEN 0 THEN 'no content present'
           WHEN 1 THEN '   '
           WHEN 2 THEN substr(text, 1, 40) || chr(1) || chr(2) || chr(3)
           WHEN 3 THEN 'PK' || chr(3) || chr(4) || 'word/document.xml ' || substr(text, 1, 100)
           WHEN 4 THEN substr(text, 1, 50) || chr(0) || 'tail'
           WHEN 5 THEN NULL
+          WHEN 6 THEN 'PK' || chr(3) || chr(4) || '_rels/.rels ' || substr(text, 1, 100)
+          WHEN 7 THEN 'PK' || chr(3) || chr(4) || 'docProps/core.xml ' || substr(text, 1, 100)
           ELSE text
         END AS t
       FROM documents
@@ -1636,7 +1638,7 @@ def ft_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.functions.text import is_placeholder_content
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    c = F.col("doc_id") % 7
+    c = F.col("doc_id") % 9
     planted = d.withColumn(
         "t",
         F.when(c == 0, F.lit("no content present"))
@@ -1648,6 +1650,12 @@ def ft_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(c == 4, F.concat(F.substring("text", 1, 50),
                                F.lit("\x00tail")))
         .when(c == 5, F.lit(None).cast("string"))
+        # cases 6/7 plant payloads whose ONLY office marker is _rels/ or
+        # docProps/ — regression guard for the [:-1] marker-drop bug
+        .when(c == 6, F.concat(F.lit("PK\x03\x04_rels/.rels "),
+                               F.substring("text", 1, 100)))
+        .when(c == 7, F.concat(F.lit("PK\x03\x04docProps/core.xml "),
+                               F.substring("text", 1, 100)))
         .otherwise(F.col("text")),
     )
     return planted.select(
