@@ -1,4 +1,7 @@
-"""Benchmark harness (driver contract: prints ONE JSON line).
+"""Benchmark harness. Prints the full detail JSON line, then a COMPACT
+summary JSON line LAST (the driver-parseable record — r3's single grown
+line outran the driver's tail window and recorded `parsed: null`); the
+full detail also lands in BENCH_DETAIL.json.
 
 Sections:
   1. index_build — the same index build (synthetic code corpus, staged to
@@ -288,8 +291,19 @@ def _build_once_main(cores: int, n_docs: int, src_dir: str) -> None:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _cached_bytes(spark) -> int:
+    """Executor storage-memory occupancy (bytes of cached RDD blocks) —
+    recorded per bench section so a cache left resident by one section
+    can be attributed when it taxes the next (r3 'what's wrong' #3)."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() for i in infos))
+    except Exception:
+        return -1
+
+
 def main() -> None:
-    result: dict = {"metric": "engine_bench", "unit": "sec", "sf": SF_DIR}
+    result: dict = {"metric": "engine_bench_detail", "unit": "sec", "sf": SF_DIR}
 
     from data_prep_opensearch_spark.session import get_spark
     from data_prep_opensearch_spark.sources.corpus import corpus_df
@@ -370,6 +384,7 @@ def main() -> None:
     _warm_workers(spark, CPUS)
 
     idx_dir = tempfile.mkdtemp(prefix="bench_qidx_", dir=_scratch_root())
+    engine = None
     try:
         build_index(spark, spark.read.parquet(corpus_dir), idx_dir,
                     n_shards=N_SHARDS, n_groups=1)
@@ -401,8 +416,30 @@ def main() -> None:
                 "p95_ms": round(lat_sorted[int(0.95 * (len(lat_sorted) - 1))], 1),
                 "meter_rate": round(rate, 1) if rate is not None else None,
             }
+        # batched path: all reference queries in ONE Spark job (the scale
+        # answer to the ~0.4s per-job scheduling floor); min of 2 reps
+        qs = [q["query"] for q in reference_query_set()]
+        kk = max(q["k"] for q in reference_query_set())
+        batch_walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            engine.topk_batch(qs, kk, scorer="auto").collect()
+            batch_walls.append(time.monotonic() - t0)
+        result["bm25"]["batch"] = {
+            "n_queries": len(qs),
+            "ms_per_query": round(min(batch_walls) * 1000 / len(qs), 1),
+            "wall_sec": round(min(batch_walls), 3),
+        }
+        result["storage_bytes_bm25_section"] = _cached_bytes(spark)
     finally:
+        # release the 500k-doc engine caches BEFORE the catalog loop:
+        # r3 left them resident and the relational catalog queries paid
+        # 3x walls (clean steal meters, unchanged plans — GC/memory
+        # pressure from ~the whole executor storage pool being pinned)
+        if engine is not None:
+            engine.unpersist()
         shutil.rmtree(idx_dir, ignore_errors=True)
+    result["storage_bytes_after_unpersist"] = _cached_bytes(spark)
 
     # engine-backed queries build-and-cache a /tmp index on first touch
     # (keyed by package + index-format version). Warm them UNTIMED so the
@@ -416,6 +453,7 @@ def main() -> None:
             except Exception:
                 pass
     result["engine_queries_prewarmed"] = True
+    result["storage_bytes_catalog_section"] = _cached_bytes(spark)
 
     # each query runs TWICE; the headline wall is the MIN (same estimator
     # philosophy as the scaling section: contamination and first-use JVM
@@ -471,7 +509,45 @@ def main() -> None:
     spark.stop()
     shutil.rmtree(qscratch, ignore_errors=True)
 
+    # Output protocol (r3 post-mortem: the grown single JSON line outran
+    # the driver's stdout tail window, so BENCH_r03.json recorded
+    # `parsed: null` and the round's scaling number never reached the
+    # driver record). Three artifacts now:
+    #   1. BENCH_DETAIL.json — the full result (trials, meter rates,
+    #      cold walls, normalized walls) committed as a side file;
+    #   2. the full detail line (metric engine_bench_detail), printed
+    #      first — best-effort;
+    #   3. a COMPACT summary as the LAST stdout line (<2 KB): the driver
+    #      contract fields (metric/value/unit/sf/queries) plus the
+    #      headline scaling + latency numbers, so the tail window always
+    #      holds one complete parseable record.
+    ib = result.get("index_build", {})
+    summary = {
+        "metric": "engine_bench",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "queries": queries,
+        "scaling_efficiency": ib.get("scaling_efficiency"),
+        f"local{LOW}_sec": ib.get(f"local{LOW}_sec"),
+        f"local{LOW * 4}_sec": ib.get(f"local{LOW * 4}_sec"),
+        f"local{LOW * 4}_docs_per_sec": ib.get(f"local{LOW * 4}_docs_per_sec"),
+        "bm25_p50_ms": {
+            s: result.get("bm25", {}).get(s, {}).get("p50_ms")
+            for s in ("wand", "auto")
+        },
+        "bm25_batch_ms_per_query": result.get("bm25", {})
+        .get("batch", {})
+        .get("ms_per_query"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(result))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
