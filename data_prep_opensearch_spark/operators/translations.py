@@ -1,9 +1,13 @@
 """Nested-map translations merge (SURVEY.md §2 J6/O5 — the reference's
 per-language translations block, stages/downloader/translations.py:77-123).
 
-Data model: ``translations: MapType(lang -> struct(title, _status,
-_source_version, _updated_ts))`` — the lang-keyed block the reference
-maintains per knowledge object.
+Data model: ``translations: MapType(lang -> struct(title, subtitle,
+description, keywords, _status, _source_version, _updated_ts))`` — the
+reference's full per-language block: its TRANSLATION_FIELDS tuple
+(translations.py:14) plus the per-language provenance meta. ``keywords``
+is an array<string>; the canonical fingerprint casefold-sorts it with
+empties dropped, so a pure reorder of the same keywords does not churn
+the fingerprint.
 
 Semantics implemented here, matching the reference exactly:
   - merge (translations.py:118-121): per language, the entry with the
@@ -27,6 +31,9 @@ from data_prep_opensearch_spark.functions.canonical import sha256_obj_col
 
 TRANS_ENTRY = T.StructType([
     T.StructField("title", T.StringType(), True),
+    T.StructField("subtitle", T.StringType(), True),
+    T.StructField("description", T.StringType(), True),
+    T.StructField("keywords", T.ArrayType(T.StringType()), True),
     T.StructField("_status", T.StringType(), True),
     T.StructField("_source_version", T.LongType(), True),
     T.StructField("_updated_ts", T.StringType(), True),

@@ -1367,44 +1367,64 @@ def str_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # churn-immune canonical fingerprint — reference translations.py:77-137
 # ---------------------------------------------------------------------------
 
-_TRANS_ENTRY_JSON = (
-    """'{{"_source_version":' || {v} || ',"_status":"' || {s} || '","title":"' || {t} || '"}}'"""
-)
-
-
 def _translations_sql() -> str:
     """Oracle: rebuilds the merged lang->entry block per doc AND the
     engine's canonical-JSON sha256 (sorted langs, sorted entry fields,
-    ``_updated_ts`` excluded) by string construction — the test values
-    contain no JSON-escapable characters, so concat IS the canonical
-    serialization."""
-    e = _TRANS_ENTRY_JSON.format
+    null fields OMITTED — to_json's ignoreNullFields — string arrays
+    casefold-sorted with empties dropped, ``_updated_ts`` excluded) by
+    string construction — the test values contain no JSON-escapable
+    characters, so concat IS the canonical serialization.
+
+    Entry breadth = the reference's full per-language block: its
+    TRANSLATION_FIELDS (title, subtitle, description, keywords —
+    translations.py:14) + provenance meta. Canonical field order is
+    name-sorted: _source_version, _status, description, keywords,
+    subtitle, title. The churn rows (doc_id % 10 = 0) re-send identical
+    content with a newer timestamp AND the keywords array reordered
+    (with a blank element) — same fingerprint required."""
+    d = "CAST(doc_id AS VARCHAR)"
+    # canonical keyword lists (casefold-sorted, blanks dropped)
+    kw_cur = f"'\"bm25-' || {d} || '\",\"Index\",\"Spark\"'"
+    kw_new = "'\"Data\",\"new\"'"
     return f"""
     WITH base AS (
       SELECT doc_id,
-             'en-title-' || CAST(doc_id AS VARCHAR) AS cur_en_title,
+             'en-title-' || {d} AS cur_en_title,
+             'en-sub-' || {d} AS cur_en_sub,
+             'en-desc-' || {d} AS cur_en_desc,
              doc_id % 5 + 3 AS cur_en_ver,
              (doc_id % 3 = 0) AS has_de,
-             'de-title-' || CAST(doc_id AS VARCHAR) AS de_title,
+             'de-title-' || {d} AS de_title,
              (doc_id % 2 = 0) AS has_inc,
              (doc_id % 10 = 0) AS churn_resend,
-             'fr-title-' || CAST(doc_id AS VARCHAR) AS fr_title
+             'fr-title-' || {d} AS fr_title
       FROM documents
     ),
     m AS (
       SELECT doc_id, has_de, de_title, has_inc, fr_title,
              CASE WHEN churn_resend THEN cur_en_ver ELSE doc_id % 7 + 1 END AS inc_en_ver,
              CASE WHEN churn_resend THEN cur_en_title
-                  ELSE 'en-new-' || CAST(doc_id AS VARCHAR) END AS inc_en_title,
+                  ELSE 'en-new-' || {d} END AS inc_en_title,
+             CASE WHEN churn_resend THEN cur_en_sub
+                  ELSE 'en-sub2-' || {d} END AS inc_en_sub,
+             CASE WHEN churn_resend THEN cur_en_desc
+                  ELSE 'en-desc2-' || {d} END AS inc_en_desc,
+             CASE WHEN churn_resend THEN {kw_cur} ELSE {kw_new} END AS inc_en_kw,
              CASE WHEN churn_resend THEN '2025-06-01T00:00:00Z'
                   ELSE '2025-01-01T00:00:00Z' END AS inc_en_ts,
-             cur_en_title, cur_en_ver
+             cur_en_title, cur_en_sub, cur_en_desc, cur_en_ver
       FROM base
     ),
     merged AS (
       SELECT doc_id, has_de, de_title, has_inc, fr_title,
              CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
                   THEN inc_en_title ELSE cur_en_title END AS en_title,
+             CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
+                  THEN inc_en_sub ELSE cur_en_sub END AS en_sub,
+             CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
+                  THEN inc_en_desc ELSE cur_en_desc END AS en_desc,
+             CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
+                  THEN inc_en_kw ELSE {kw_cur} END AS en_kw,
              CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
                   THEN inc_en_ver ELSE cur_en_ver END AS en_ver,
              CASE WHEN has_inc AND inc_en_ver >= cur_en_ver
@@ -1415,26 +1435,35 @@ def _translations_sql() -> str:
       SELECT doc_id,
              sha256('{{' || concat_ws(',',
                CASE WHEN has_de THEN '"de":' ||
-                 {e(v="'2'", s="'draft'", t="de_title")} END,
-               '"en":' || {e(v="CAST(en_ver AS VARCHAR)", s="'published'", t="en_title")},
+                 '{{"_source_version":2,"_status":"draft","description":"de-desc-'
+                 || {d} || '","keywords":["DE","de"],"title":"' || de_title || '"}}' END,
+               '"en":{{"_source_version":' || CAST(en_ver AS VARCHAR)
+                 || ',"_status":"published","description":"' || en_desc
+                 || '","keywords":[' || en_kw || '],"subtitle":"' || en_sub
+                 || '","title":"' || en_title || '"}}',
                CASE WHEN has_inc THEN '"fr":' ||
-                 {e(v="'1'", s="'draft'", t="fr_title")} END
+                 '{{"_source_version":1,"_status":"draft","keywords":["fr"],"subtitle":"fr-sub-'
+                 || {d} || '","title":"' || fr_title || '"}}' END
              ) || '}}') AS map_fp,
              TRUE AS churn_immune
       FROM merged
     )
-    SELECT r.doc_id, r.lang, r.title, r._status, r._source_version,
-           r._updated_ts, fp.map_fp, fp.churn_immune
+    SELECT r.doc_id, r.lang, r.title, r.subtitle, r.description, r.keywords,
+           r._status, r._source_version, r._updated_ts, fp.map_fp, fp.churn_immune
     FROM (
-      SELECT doc_id, 'en' AS lang, en_title AS title,
+      SELECT doc_id, 'en' AS lang, en_title AS title, en_sub AS subtitle,
+             en_desc AS description,
+             replace(en_kw, '"', '') AS keywords,
              'published' AS _status, en_ver AS _source_version,
              en_ts AS _updated_ts
       FROM merged
       UNION ALL
-      SELECT doc_id, 'de', de_title, 'draft', 2, '2024-02-01T00:00:00Z'
+      SELECT doc_id, 'de', de_title, NULL, 'de-desc-' || {d}, 'DE,de',
+             'draft', 2, '2024-02-01T00:00:00Z'
       FROM merged WHERE has_de
       UNION ALL
-      SELECT doc_id, 'fr', fr_title, 'draft', 1, '2025-01-01T00:00:00Z'
+      SELECT doc_id, 'fr', fr_title, 'fr-sub-' || {d}, NULL, 'fr',
+             'draft', 1, '2025-01-01T00:00:00Z'
       FROM merged WHERE has_inc
     ) r JOIN fp USING (doc_id)
     """
@@ -1450,14 +1479,20 @@ def _translations_sql() -> str:
             "immune (translations.py:126-137, fingerprints.py:33-46)"],
 )
 def rel_translations_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_prep_opensearch_spark.functions.canonical import _canon_sort_strings
     from data_prep_opensearch_spark.operators.translations import (
         merge_translation_maps,
         translations_fp,
     )
 
-    def entry(title, status, ver, ts):
+    NULL_S = F.lit(None).cast("string")
+
+    def entry(title, subtitle, description, keywords, status, ver, ts):
         return F.struct(
             title.alias("title"),
+            subtitle.alias("subtitle"),
+            description.alias("description"),
+            keywords.alias("keywords"),
             F.lit(status).alias("_status"),
             ver.cast("long").alias("_source_version"),
             ts.alias("_updated_ts"),
@@ -1465,22 +1500,36 @@ def rel_translations_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
+    # keywords arrive UNSORTED with a blank element — the canonical
+    # fingerprint must casefold-sort and drop the blank
+    kw_cur = F.array(F.lit("Spark"), F.concat(F.lit("bm25-"), d),
+                     F.lit("  "), F.lit("Index"))
+    # same keyword SET as kw_cur, different raw order (churn re-send)
+    kw_cur_reordered = F.array(F.lit("Index"), F.lit("  "),
+                               F.concat(F.lit("bm25-"), d), F.lit("Spark"))
     cur = ids.withColumn(
         "translations",
         F.map_filter(
             F.create_map(
                 F.lit("en"),
-                entry(F.concat(F.lit("en-title-"), d), "published",
+                entry(F.concat(F.lit("en-title-"), d),
+                      F.concat(F.lit("en-sub-"), d),
+                      F.concat(F.lit("en-desc-"), d),
+                      kw_cur, "published",
                       d % 5 + 3, F.lit("2024-01-01T00:00:00Z")),
                 F.lit("de"),
                 F.when(d % 3 == 0, entry(
-                    F.concat(F.lit("de-title-"), d), "draft",
+                    F.concat(F.lit("de-title-"), d), NULL_S,
+                    F.concat(F.lit("de-desc-"), d),
+                    F.array(F.lit("de"), F.lit("DE")), "draft",
                     F.lit(2), F.lit("2024-02-01T00:00:00Z"))),
             ),
             lambda k, v: v.isNotNull(),
         ),
     )
-    churn = d % 10 == 0  # identical content re-sent with a newer timestamp
+    # churn rows: identical content re-sent with a newer timestamp AND
+    # the keywords array reordered — the fingerprint must not move
+    churn = d % 10 == 0
     inc = ids.filter(d % 2 == 0).withColumn(
         "inc_translations",
         F.create_map(
@@ -1488,13 +1537,21 @@ def rel_translations_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             entry(
                 F.when(churn, F.concat(F.lit("en-title-"), d))
                 .otherwise(F.concat(F.lit("en-new-"), d)),
+                F.when(churn, F.concat(F.lit("en-sub-"), d))
+                .otherwise(F.concat(F.lit("en-sub2-"), d)),
+                F.when(churn, F.concat(F.lit("en-desc-"), d))
+                .otherwise(F.concat(F.lit("en-desc2-"), d)),
+                F.when(churn, kw_cur_reordered)
+                .otherwise(F.array(F.lit("new"), F.lit("Data"))),
                 "published",
                 F.when(churn, d % 5 + 3).otherwise(d % 7 + 1),
                 F.when(churn, F.lit("2025-06-01T00:00:00Z"))
                 .otherwise(F.lit("2025-01-01T00:00:00Z")),
             ),
             F.lit("fr"),
-            entry(F.concat(F.lit("fr-title-"), d), "draft",
+            entry(F.concat(F.lit("fr-title-"), d),
+                  F.concat(F.lit("fr-sub-"), d), NULL_S,
+                  F.array(F.lit("fr")), "draft",
                   F.lit(1), F.lit("2025-01-01T00:00:00Z")),
         ),
     )
@@ -1524,6 +1581,13 @@ def rel_translations_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang",
         F.col("entry.title").alias("title"),
+        F.col("entry.subtitle").alias("subtitle"),
+        F.col("entry.description").alias("description"),
+        # projected in canonical order (the raw order is churn-dependent;
+        # the map_fp hashes the canonical form, so the visible column
+        # shows exactly what was fingerprinted)
+        F.array_join(_canon_sort_strings(F.col("entry.keywords")), ",")
+        .alias("keywords"),
         F.col("entry._status").alias("_status"),
         F.col("entry._source_version").alias("_source_version"),
         F.col("entry._updated_ts").alias("_updated_ts"),
