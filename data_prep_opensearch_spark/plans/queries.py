@@ -344,6 +344,133 @@ def ft_engine_latest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_code_sql(k: int) -> str:
+    """Oracle for the 'code'-tokenizer engine path: DuckDB reproduces the
+    Arrow marked-split (index_build.py:279-283) — camel boundaries and
+    acronym boundaries rewritten to '_', then snake-split; an identifier
+    contributes sub-tokens only when it splits into >1 pieces — then the
+    standard BM25 math. The planted 64-doc corpus gives every matching
+    doc a distinct doclen (dl = 11 + doc_id, tf identical within the
+    matching classes), so rounded scores are strictly distinct and the
+    top-k rank is forced without relying on tie-break order (engine
+    internal docIDs are hash-ordered, not doc_id-ordered)."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    return rf"""
+    WITH src AS (
+      SELECT doc_id,
+             repeat('pad ', 5 + CAST(doc_id AS INTEGER)) ||
+             CASE doc_id % 4
+               WHEN 0 THEN 'parseJson handleInput'
+               WHEN 1 THEN 'parse_json writeBuffer'
+               WHEN 2 THEN 'JSONParser reset'
+               ELSE 'parsed jsonify cleanup'
+             END AS text
+      FROM documents WHERE doc_id < 64
+    ),
+    idents AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'),
+                                x -> x <> '')) AS ident
+      FROM src
+    ),
+    pieces AS (
+      SELECT doc_id, lower(ident) AS whole,
+             list_filter(string_split(lower(
+               regexp_replace(regexp_replace(ident,
+                 '([a-z0-9])([A-Z])', '\1_\2', 'g'),
+                 '([A-Z]+)([A-Z][a-z0-9])', '\1_\2', 'g')), '_'),
+               x -> x <> '') AS subs
+      FROM idents
+    ),
+    tok AS (
+      SELECT doc_id, whole AS term FROM pieces
+      UNION ALL
+      SELECT doc_id, unnest(subs) AS term FROM pieces WHERE len(subs) > 1
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT unnest(['json', 'parse']) AS term)
+    SELECT tf.doc_id AS doc_id,
+           round(sum(
+             ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+           ), 4) AS score
+    FROM tf
+    JOIN q ON tf.term = q.term
+    JOIN dft ON tf.term = dft.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_code_topk",
+    _bm25_code_sql(BM25_K),
+    covers=["§2.11 'code' tokenizer (identifier splitting) end-to-end through "
+            "the segment engine — Arrow marked-split (index_build.py:279-283), "
+            "sub-token query match ('parse' hits parseJson/parse_json; "
+            "'parsed'/'jsonify' must NOT match)"],
+)
+def ft_bm25_code_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a segment index with tokenizer='code' over a planted corpus
+    of compound identifiers and answer a sub-token query through the real
+    engine. Class 0/1 docs match both query terms (via camelCase and
+    snake_case splits), class 2 matches 'json' only (acronym-boundary
+    split JSONParser -> json+parser), class 3 must match NOTHING
+    ('parsed'/'jsonify' are single-piece identifiers — whole-ident
+    lowering is not stemming)."""
+    import hashlib
+    import os
+
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+    from data_prep_opensearch_spark.operators.index_build import build_index
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+
+    import data_prep_opensearch_spark as pkg
+
+    tag = hashlib.sha256(
+        f"code:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/dposs_idx_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+        c = F.col("doc_id") % 4
+        text = F.concat(
+            F.expr("repeat('pad ', 5 + cast(doc_id as int))"),
+            F.when(c == 0, F.lit("parseJson handleInput"))
+            .when(c == 1, F.lit("parse_json writeBuffer"))
+            .when(c == 2, F.lit("JSONParser reset"))
+            .otherwise(F.lit("parsed jsonify cleanup")),
+        )
+        src = d.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.sha2(text, 256).substr(1, 40).alias("commit"),
+            F.col("lang").alias("lang"),
+            text.alias("content"),
+        )
+        build_index(spark, src, index_dir, n_shards=4, n_groups=1,
+                    tokenizer="code")
+    topk = query_topk(spark, index_dir, "parse json", BM25_K, scorer="wand")
+    stats = read_doc_stats(spark, index_dir).select(
+        F.col("doc_id").alias("engine_doc_id"), F.col("path")
+    )
+    return (
+        topk.join(stats, topk["doc_id"] == stats["engine_doc_id"])
+        .select(
+            F.col("path").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+    )
+
+
 @register(
     "ft_exact_dedup",
     f"""
