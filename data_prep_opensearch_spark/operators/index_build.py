@@ -854,35 +854,40 @@ def _build_index_locked(
                 seg_thread = threading.Thread(target=_write_segments)
                 seg_thread.start()
             n_docs, n_postings, fp = 0, 0, 0
-            if has_stats:
-                g_stats = spark.read.parquet(kind1)
-                # group identity + counters observed DURING the doclen
-                # write (one job, no second scan) — sha256 is the content
-                # identity, so this is the order-independent corpus
-                # fingerprint WITHOUT another pass over content
-                # (idempotent-export identity, api/control_plane.py:698-704).
-                # sum(doclen) rides along so a fresh build's finalize
-                # needs NO extra Spark job.
-                obs = Observation(f"commit_g{g}")
-                observed = g_stats.observe(
-                    obs,
-                    F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("n_terms").alias("s"),
-                    F.sum("doclen").alias("dl"),
-                )
-                encode_doclens(observed).write.mode("overwrite").parquet(
-                    os.path.join(index_dir, dl_rel)
-                )
-                agg_row = obs.get
-                n_docs = int(agg_row["n"])
-                fp = int(agg_row["fp"] or 0) ^ n_docs
-                n_postings = int(agg_row["s"] or 0)
-                group_totals.append((n_docs, int(agg_row["dl"] or 0)))
-            if seg_thread is not None:
-                seg_thread.join()
-                if seg_err:
-                    raise seg_err[0]
+            try:
+                if has_stats:
+                    g_stats = spark.read.parquet(kind1)
+                    # group identity + counters observed DURING the doclen
+                    # write (one job, no second scan) — sha256 is the content
+                    # identity, so this is the order-independent corpus
+                    # fingerprint WITHOUT another pass over content
+                    # (idempotent-export identity, api/control_plane.py:698-704).
+                    # sum(doclen) rides along so a fresh build's finalize
+                    # needs NO extra Spark job.
+                    obs = Observation(f"commit_g{g}")
+                    observed = g_stats.observe(
+                        obs,
+                        F.expr("bit_xor(xxhash64(repo, path, commit, sha256))").alias("fp"),
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("n_terms").alias("s"),
+                        F.sum("doclen").alias("dl"),
+                    )
+                    encode_doclens(observed).write.mode("overwrite").parquet(
+                        os.path.join(index_dir, dl_rel)
+                    )
+                    agg_row = obs.get
+                    n_docs = int(agg_row["n"])
+                    fp = int(agg_row["fp"] or 0) ^ n_docs
+                    n_postings = int(agg_row["s"] or 0)
+                    group_totals.append((n_docs, int(agg_row["dl"] or 0)))
+            finally:
+                # ALWAYS reap the segment writer before any exception can
+                # leave the locked region: an unjoined thread would keep
+                # writing into the index dir after the lock is released
+                if seg_thread is not None:
+                    seg_thread.join()
+            if seg_err:
+                raise seg_err[0]
             tmark = _tick("seg_dl_commit", tmark)
 
             # publish BEFORE the lineage row: a crash in between re-runs the

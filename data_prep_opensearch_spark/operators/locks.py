@@ -19,6 +19,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 
 class IndexLockHeld(RuntimeError):
@@ -56,12 +57,14 @@ def index_lock(
     deadline, pipeline/locks.py:88-105). A LIVE holder younger than the
     deadline is never stolen, however long it has run short of it.
 
-    Race discipline: takeover is rmtree + a fresh ``mkdir`` attempt. If a
-    concurrent process wins that re-acquire race, the loser must NOT
-    touch the winner's fresh lock — on the retry a ``FileExistsError``
-    means "someone else holds it now" and raises IndexLockHeld (the
-    round-2 retry clause rmtree'd the winner's lock and then crashed
-    writing status into the removed dir, leaving the winner unprotected).
+    Race discipline: a stale lock is CLAIMED atomically by renaming it to
+    a private per-claimant path — of N processes that all observed the
+    same dead/expired lock, exactly one rename succeeds, and each
+    claimant only ever deletes its own renamed dir. (The earlier
+    rmtree-then-mkdir takeover had a window where the loser's rmtree
+    deleted the winner's freshly created lock, after which both held it.)
+    After the claim, re-acquisition is an ordinary ``mkdir`` race; losing
+    it raises IndexLockHeld — the winner's fresh lock is never touched.
     """
     os.makedirs(index_dir, exist_ok=True)
     lock_dir = os.path.join(index_dir, ".lock")
@@ -82,7 +85,15 @@ def index_lock(
             holder_dead = pid > 0 and not _pid_alive(pid)
             stale = holder_dead or age >= stale_after_sec
             if attempt == 0 and stale:
-                shutil.rmtree(lock_dir, ignore_errors=True)  # take over, re-race
+                # atomic claim: one rename wins; the rmtree below touches
+                # only the claimant's PRIVATE renamed dir, never lock_dir
+                claimed = f"{lock_dir}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock_dir, claimed)
+                except OSError:
+                    pass  # another claimant renamed it first; re-race mkdir
+                else:
+                    shutil.rmtree(claimed, ignore_errors=True)
                 continue
             raise IndexLockHeld(
                 f"another writer (pid={pid}, purpose={status.get('purpose')}, "

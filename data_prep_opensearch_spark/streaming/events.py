@@ -64,12 +64,18 @@ def sessionize_stream(
     twin the oracle checks).
 
     Per-user state = the one OPEN session (start_us, end_us, n).
-    A micro-batch's rows are sorted by event time inside the function;
-    a gap > threshold closes the open session (row emitted) and opens a
-    new one. An event-time timeout set past the open session's
+    Each micro-batch merges the open session with the batch's events as
+    INTERVALS sorted by start time — so a cross-batch out-of-order event
+    (still above the watermark) that predates the open session's start
+    extends it BACKWARD (session_start = min), and one that predates it
+    by more than the gap becomes its own earlier session, exactly as the
+    batch twin would order them. A gap > threshold closes a session (row
+    emitted); an event-time timeout set past the open session's
     ``end + gap`` emits it once the watermark proves no in-order event
     can extend it — so every session is emitted exactly once, closed
-    rows never mutate, and state stays O(1) per active user."""
+    rows never mutate, and state stays O(1) per active user. (Residual
+    stream-vs-batch divergence requires an out-of-order event for a
+    session that was already EMITTED — impossible above the watermark.)"""
     import pandas as pd  # noqa: F401 (worker-side)
 
     gap_us = gap_minutes * 60 * 1_000_000
@@ -85,23 +91,25 @@ def sessionize_stream(
                 out.append((key[0], s, e, n))
                 state.remove()
         else:
-            rows = rows.sort_values("ts")
-            ts_us = (rows["ts"].astype("int64")).tolist()  # ns -> see below
             # pandas datetime64[ns] -> int64 ns; convert to us
-            ts_us = [t // 1000 for t in ts_us]
+            ts_us = [t // 1000 for t in rows["ts"].astype("int64").tolist()]
+            # the open session participates as one (start, end, n)
+            # interval among the batch's single-event intervals; sorting
+            # by start reproduces the batch twin's event-time order
+            items = [(t, t, 1) for t in ts_us]
             if state.exists:
-                cur = list(state.get)
-            else:
-                cur = None
-            for t in ts_us:
+                items.append(tuple(state.get))
+            items.sort()
+            cur = None
+            for s, e, n in items:
                 if cur is None:
-                    cur = [t, t, 1]
-                elif t - cur[1] > gap_us:
+                    cur = [s, e, n]
+                elif s - cur[1] > gap_us:
                     out.append((key[0], cur[0], cur[1], cur[2]))
-                    cur = [t, t, 1]
+                    cur = [s, e, n]
                 else:
-                    cur[1] = max(cur[1], t)
-                    cur[2] += 1
+                    cur[1] = max(cur[1], e)
+                    cur[2] += n
             if cur is not None:
                 state.update(tuple(cur))
                 # emit once the watermark passes end + gap: nothing

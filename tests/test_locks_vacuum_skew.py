@@ -38,6 +38,72 @@ def test_index_lock_exclusive_and_stale_takeover(tmp_root):
         pass
 
 
+def test_stale_takeover_never_touches_live_lock_path(tmp_root, monkeypatch):
+    """The takeover claim must be an atomic rename to a PRIVATE path:
+    whatever a claimant deletes, it is never ``.lock`` itself — so a
+    concurrent winner's freshly re-created lock cannot be destroyed
+    (the old rmtree-then-mkdir takeover had exactly that window)."""
+    import shutil as _shutil
+
+    from data_prep_opensearch_spark.operators import locks as locks_mod
+
+    d = os.path.join(tmp_root, "lock_idx_claim")
+    lock_dir = os.path.join(d, ".lock")
+    os.makedirs(lock_dir)
+    with open(os.path.join(lock_dir, "status.json"), "w") as f:
+        f.write('{"pid": 999999999, "purpose": "crashed"}')
+
+    removed = []
+    real_rmtree = _shutil.rmtree
+
+    def spy_rmtree(path, *a, **kw):
+        removed.append(path)
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(locks_mod.shutil, "rmtree", spy_rmtree)
+    with index_lock(d):
+        pass
+    # one removal for the claimed (renamed) stale dir, one for release
+    claim_removals = [p for p in removed if ".stale-" in p]
+    assert claim_removals, "stale takeover did not go through a rename-claim"
+    # the live lock path is only ever removed by the final release
+    assert removed[-1] == lock_dir
+    assert lock_dir not in removed[:-1]
+
+
+def test_lost_rename_claim_never_steals_new_holder(tmp_root, monkeypatch):
+    """A claimant whose rename loses the race (lock already claimed and
+    re-created by a live winner) must raise IndexLockHeld and leave the
+    winner's lock intact."""
+    from data_prep_opensearch_spark.operators import locks as locks_mod
+
+    d = os.path.join(tmp_root, "lock_idx_lost")
+    lock_dir = os.path.join(d, ".lock")
+    os.makedirs(lock_dir)
+    with open(os.path.join(lock_dir, "status.json"), "w") as f:
+        f.write('{"pid": 999999999, "purpose": "crashed"}')
+
+    real_rename = os.rename
+
+    def losing_rename(src, dst):
+        # simulate the interleave: the other claimant renames the stale
+        # dir and re-creates a LIVE lock before our rename lands
+        real_rename(src, dst + ".other-winner")
+        os.makedirs(lock_dir)
+        with open(os.path.join(lock_dir, "status.json"), "w") as f:
+            json_s = '{"pid": %d, "purpose": "winner"}' % os.getpid()
+            f.write(json_s)
+        raise OSError("rename lost")
+
+    monkeypatch.setattr(locks_mod.os, "rename", losing_rename)
+    with pytest.raises(IndexLockHeld):
+        with index_lock(d):
+            pass
+    # the winner's lock survives untouched
+    assert os.path.isdir(lock_dir)
+    assert os.path.exists(os.path.join(lock_dir, "status.json"))
+
+
 def test_build_index_refuses_concurrent_writer(spark, tmp_root):
     d = os.path.join(tmp_root, "lock_idx2")
     with index_lock(d, purpose="other_writer"):

@@ -72,6 +72,74 @@ def test_sessionize_gap_semantics(spark):
     assert out == {(5, 1): 2, (5, 2): 1, (6, 1): 1}
 
 
+def test_sessionize_stream_out_of_order_across_batches(spark, tmp_root):
+    """A later micro-batch delivers events that PREDATE the open session
+    (still above the watermark): one within the gap must extend the
+    session backward (session_start = min), one more than a gap earlier
+    must become its own earlier session — matching the batch twin.
+    Regression test for the extend-branch that never moved session_start
+    (r3 ADVICE)."""
+    import tempfile
+
+    from data_prep_opensearch_spark.streaming.events import sessionize_stream
+
+    cols = ["event_id", "ts_s", "user_id", "event_type", "value"]
+
+    def df_of(rows):
+        d = spark.createDataFrame(rows, cols)
+        return d.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    batch1 = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0),
+    ]
+    batch2 = [
+        (3, "2024-01-01 09:55:00", 1, "click", 1.0),  # backward-extends
+        (4, "2024-01-01 09:00:00", 1, "click", 1.0),  # own earlier session
+        (5, "2024-06-01 00:00:00", 1, "sentinel", 0.0),  # closes everything
+    ]
+    sentinel_ts = "2024-06-01 00:00:00"
+
+    src = os.path.join(tmp_root, "stream_ooo_src")
+    df_of(batch1).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df_of(batch1).schema).parquet(src)
+    out = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    ckpt = tempfile.mkdtemp(dir=tmp_root)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # micro-batch 1: open session 10:00-10:10
+        df_of(batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # micro-batch 2: out-of-order arrivals
+        got = {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"])):
+            r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_ooo").collect()
+        }
+    finally:
+        q.stop()
+    expected_batch = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])):
+        r["n_events"]
+        for r in sessionize_batch(
+            df_of(batch1 + batch2), gap_minutes=30
+        ).collect()
+        if str(r["session_start"]) != sentinel_ts  # still open in stream
+    }
+    assert got == expected_batch
+    assert got == {
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:00:00"): 1,
+        (1, "2024-01-01 09:55:00", "2024-01-01 10:10:00"): 3,
+    }
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_sessionize_stream_stateful_equals_batch(spark, tmp_root):
     """applyInPandasWithState sessionizer vs the declarative batch twin.
 
