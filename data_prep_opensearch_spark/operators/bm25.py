@@ -574,8 +574,14 @@ def _score_shard_wand(
     # prunable iff, for some prefix of the ub-sorted terms, (a) the tail
     # bounds are dominated (Σub_tail < 0.5·Σub_head → the threshold the
     # head establishes will beat the tail) AND (b) the tail's posting
-    # mass is what actually gets skipped and it outweighs the head's
-    # candidate bookkeeping (Σdf_tail > 2·Σdf_head)
+    # mass — what actually gets skipped — dwarfs the head's candidate
+    # bookkeeping. The candidate path pays O(Σdf_head) decode+score PLUS
+    # per-candidate tf_at lookups, so the tail must outweigh the head by
+    # a wide margin (8x, measured): at 2x an 8-term mid-df query ran the
+    # candidate path 2.2x SLOWER than the dense accumulator. A
+    # stopword-heavy TAIL behind a needle head is exactly where pruning
+    # pays (the hot postings are never bulk-decoded) — total-df is
+    # deliberately NOT a dense-trigger on its own.
     pairs = sorted(
         ((ub_by_term[t], df_by_term[t]) for t in ub_by_term),
         key=lambda x: -x[0],
@@ -589,10 +595,10 @@ def _score_shard_wand(
         tail_ub -= u
         head_df += d
         tail_df -= d
-        if tail_ub < 0.5 * head_ub and tail_df > 2.0 * head_df:
+        if tail_ub < 0.5 * head_ub and tail_df > 8.0 * head_df:
             prunable = True
             break
-    if sum(dfs[1:]) < k or sum(dfs) >= 0.5 * dl_arr.shape[0] or not prunable:
+    if sum(dfs[1:]) < k or not prunable:
         return _score_shard_dense(grp, idf_map, avgdl, k, base, dl_bytes,
                                   deleted, dl_arr=dl_arr)
 
@@ -617,8 +623,13 @@ def _score_shard_wand(
     ubs = np.array([ub[t] for t in order], dtype=np.float64)
     tail = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
 
-    pool_docs = np.zeros(0, dtype=np.int64)     # unique, sorted
+    pool_docs = np.zeros(0, dtype=np.int64)     # unique, sorted, scored
     pool_scores = np.zeros(0, dtype=np.float64)
+    # docs proven strictly below the threshold: excluded from future
+    # candidacy (the threshold only rises, so a kill is final). Keeping
+    # them out of the pool is what lets the per-candidate bound kills
+    # below stay exact — a killed doc can never re-enter half-scored.
+    killed = np.zeros(0, dtype=np.int64)        # unique, sorted
     threshold = -math.inf
     for i, t in enumerate(order):
         # an unseen doc introduced here scores at most ub[t] + tail[i]
@@ -628,26 +639,52 @@ def _score_shard_wand(
         if pool_docs.size:
             keep = ~np.isin(cand, pool_docs, assume_unique=True)
             cand, ctf = cand[keep], ctf[keep]
+        if killed.size:
+            keep = ~np.isin(cand, killed, assume_unique=True)
+            cand, ctf = cand[keep], ctf[keep]
         if deleted is not None and deleted.size:
             keep = ~np.isin(cand, deleted)
             cand, ctf = cand[keep], ctf[keep]
         if cand.size:
             dl = dl_arr[cand - base].astype(np.float64)
             sc = idf_map[t] * bm25_tf_term(ctf.astype(np.float64), dl, avgdl)
-            for u in order:
-                if u == t:
-                    continue
+            # MAXSCORE SPLIT: a doc introduced at term i contains NO
+            # earlier-ordered term (their full postings all went to
+            # pool∪killed), so exact scoring needs lookups only against
+            # the LATER terms — and between lookups each candidate's
+            # optimistic bound (sc + Σub of still-unvisited terms) gates
+            # the next lookup: strictly-below-threshold candidates are
+            # killed before they cost another tf_at. Strict `<` keeps
+            # ties exact (an equal-bound doc could still win on docID).
+            rest = order[i + 1:]
+            rest_ubs = np.array([ub[u] for u in rest], dtype=np.float64)
+            rem = np.concatenate((np.cumsum(rest_ubs[::-1])[::-1], [0.0]))
+            for j, u in enumerate(rest):
+                if threshold > -math.inf and rem[j] > 0.0:
+                    alive = sc + rem[j] >= threshold
+                    if not alive.all():
+                        killed = np.union1d(killed, cand[~alive])
+                        cand, ctf = cand[alive], ctf[alive]
+                        sc, dl = sc[alive], dl[alive]
+                        if cand.size == 0:
+                            break
                 vals, hit = lazies[u].tf_at(cand)
                 if hit.any():
                     sc[hit] += idf_map[u] * bm25_tf_term(vals[hit], dl[hit], avgdl)
-            pool_docs = np.concatenate((pool_docs, cand))
-            pool_scores = np.concatenate((pool_scores, sc))
-            o = np.argsort(pool_docs)
-            pool_docs, pool_scores = pool_docs[o], pool_scores[o]
-            if pool_docs.size >= k:
-                threshold = float(
-                    np.partition(pool_scores, pool_scores.size - k)[pool_scores.size - k]
-                )
+            if cand.size and threshold > -math.inf:
+                alive = sc >= threshold
+                if not alive.all():
+                    killed = np.union1d(killed, cand[~alive])
+                    cand, sc = cand[alive], sc[alive]
+            if cand.size:
+                pool_docs = np.concatenate((pool_docs, cand))
+                pool_scores = np.concatenate((pool_scores, sc))
+                o = np.argsort(pool_docs)
+                pool_docs, pool_scores = pool_docs[o], pool_scores[o]
+                if pool_docs.size >= k:
+                    threshold = float(
+                        np.partition(pool_scores, pool_scores.size - k)[pool_scores.size - k]
+                    )
 
     if pool_docs.size == 0:
         return _empty_topk()

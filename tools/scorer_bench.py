@@ -62,6 +62,15 @@ def main() -> None:
         "sym400 sym800 sym1600 fn900",
         "needle0 sym100 sym300",
         "sym250 fn249",
+        # long queries (>=8 terms). The flat mid-df ones must ROUTE TO
+        # DENSE (candidate bookkeeping loses when no term dominates);
+        # the needle-head + stopword-tail one is where the MaxScore
+        # essential/non-essential split pays: the tail's hot postings
+        # are bounded by their Sigma-ub and never bulk-decoded, and
+        # candidates are killed between lookups.
+        "sym100 sym200 fn300 sym500 fn501 sym700 sym1000 sym2000",
+        "sym150 sym350 fn400 sym650 fn800 sym1200 sym1800 fn2200 sym2600 fn3000",
+        "needle0 needle13 import def class self return sym5",
     ]
     queries = [("ref", q) for q in ref_queries] + [("sel", q) for q in sel_queries]
     print(f"queries: {queries}")
