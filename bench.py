@@ -78,6 +78,7 @@ N_SHARDS = 128  # corpus-determined, NOT core-count-determined: docIDs and
 HEADLINE = [
     "ft_bm25_topk",
     "ft_bm25_engine_topk",
+    "ft_bm25_code_topk",
     "ft_term_stats",
     "ft_minhash_signatures",
     "ft_lsh_pairs",
@@ -446,7 +447,8 @@ def main() -> None:
     # timed number is "query a built index" — the build itself is
     # benchmarked in section 1; without this, a version bump makes the
     # recorded wall a one-off cold build (r2->r3: 1.6s -> 15.8s artifact).
-    for name in ("ft_bm25_engine_topk", "ft_engine_latest_prune"):
+    for name in ("ft_bm25_engine_topk", "ft_engine_latest_prune",
+                 "ft_bm25_code_topk"):
         if name in REGISTRY:
             try:
                 REGISTRY[name].fn(spark, SF_DIR).count()

@@ -982,7 +982,7 @@ def sort_segments(spark: SparkSession, index_dir: str, n_files: int | None = Non
         def _mut(mm):
             mm["segments"] = [{"path": rel, "gens": gens}]
         mf.update_manifest(index_dir, _mut)
-        mf.gc_paths(index_dir, old_rels)
+        mf.retire_paths(index_dir, old_rels)
 
 
 def index_fingerprint(spark: SparkSession, index_dir: str) -> int:

@@ -30,9 +30,11 @@ Semantics:
 Writers that re-run after a crash write to the SAME deterministic dir
 name with mode("overwrite") and re-publish the same manifest entry —
 commits are idempotent (the duplicate-append window flagged in round 1
-is closed). Consumed dirs are deleted only AFTER the manifest swap;
-on shared storage a reader holding the old manifest can still finish —
-production would delay that GC by a read-timeout, noted where it happens.
+is closed). Consumed dirs are RETIRED after the manifest swap: recorded
+in the manifest's ``retired`` ledger and deleted only once they age past
+$DPOSS_GC_GRACE_SEC (retire_paths/gc_retired), so on shared storage a
+reader holding the previous manifest finishes its scan against dirs
+that still exist.
 
 Fallback: an index_dir with no manifest.json (hand-built test fixtures)
 is read via the legacy flat directories (segments/, doclens/,
@@ -46,6 +48,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -220,8 +223,63 @@ def live_gens(m: dict) -> list[int]:
     return sorted(out)
 
 
-def gc_paths(index_dir: str, rels: list[str]) -> None:
-    """Best-effort removal of retired dirs. Single-writer today; at
-    cluster scale this runs after a reader-visibility delay instead."""
-    for rel in rels:
+# reader-visibility GC delay: retired dirs are deleted only after this
+# many seconds, so a concurrent reader that resolved the PREVIOUS
+# manifest finishes its scan against dirs that still exist on shared
+# storage. Default 0 = immediate (the single-writer sandbox); set the
+# env for multi-reader deployments (e.g. 900 = any read slower than
+# 15 min re-resolves the manifest).
+GC_GRACE_ENV = "DPOSS_GC_GRACE_SEC"
+
+
+def retire_paths(index_dir: str, rels: list[str],
+                 grace_sec: float | None = None) -> None:
+    """Retire dirs the manifest no longer references: record them in the
+    manifest's ``retired`` ledger (with a wall-clock stamp), then drain
+    whatever has aged past the grace period. Caller holds the writer
+    lock. With grace 0 this degrades to immediate deletion; with a
+    nonzero grace a reader holding the previous manifest never 404s
+    mid-scan — the retired dirs outlive its read (gated in
+    tests/test_merge_and_resume.py)."""
+    rels = [r for r in rels if r]
+    if rels:
+        now = time.time()
+
+        def _mut(m):
+            led = m.setdefault("retired", [])
+            have = {e["path"] for e in led}
+            for r in rels:
+                if r not in have:
+                    led.append({"path": r, "ts": now})
+        update_manifest(index_dir, _mut)
+    gc_retired(index_dir, grace_sec)
+
+
+def gc_retired(index_dir: str, grace_sec: float | None = None) -> list[str]:
+    """Delete ledgered dirs older than the grace period (``None`` reads
+    $DPOSS_GC_GRACE_SEC, default 0) and drop them from the ledger.
+    Returns the rels removed. Every writer operation calls this via
+    retire_paths, so an active index converges; an idle one keeps its
+    ledger until the next write (or an explicit call)."""
+    if grace_sec is None:
+        grace_sec = float(os.environ.get(GC_GRACE_ENV, "0"))
+    m = load_manifest(index_dir)
+    if not m or not m.get("retired"):
+        return []
+    now = time.time()
+    due = {e["path"] for e in m["retired"] if now - e["ts"] >= grace_sec}
+    if not due:
+        return []
+    for rel in due:
         shutil.rmtree(_abs(index_dir, rel), ignore_errors=True)
+
+    def _mut(mm):
+        mm["retired"] = [e for e in mm.get("retired", [])
+                         if e["path"] not in due]
+    update_manifest(index_dir, _mut)
+    return sorted(due)
+
+
+def gc_paths(index_dir: str, rels: list[str]) -> None:
+    """Back-compat shim: retire + drain under the configured grace."""
+    retire_paths(index_dir, rels)

@@ -134,9 +134,10 @@ def _merge_locked(
         def _mut(mm, _keep=keep, _rel=rel, _gen=next_gen):
             mm["segments"] = list(_keep) + [{"path": _rel, "gens": [_gen]}]
         m = mf.update_manifest(index_dir, _mut)
-        # GC consumed dirs AFTER the manifest swap (single-writer; at
-        # cluster scale delay this by a reader-visibility timeout)
-        mf.gc_paths(index_dir, [e["path"] for e in src])
+        # retire consumed dirs AFTER the manifest swap; actual deletion
+        # waits out $DPOSS_GC_GRACE_SEC so a reader on the old manifest
+        # finishes its scan (manifest.retire_paths)
+        mf.retire_paths(index_dir, [e["path"] for e in src])
         passes += 1
 
     if apply_deletes:
@@ -189,8 +190,8 @@ def _vacuum_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> None:
         mm["doc_stats"] = [rel]
         mm["doclens"] = [dl_rel]
     mf.update_manifest(index_dir, _mut)
-    mf.gc_paths(index_dir, [p for p in old_stats if p != rel])
-    mf.gc_paths(index_dir, [p for p in old_dls if p != dl_rel])
+    mf.retire_paths(index_dir, [p for p in old_stats if p != rel])
+    mf.retire_paths(index_dir, [p for p in old_dls if p != dl_rel])
     agg = alive_new.select(
         F.count("*").alias("n"), F.avg("doclen").alias("a")
     ).collect()[0]

@@ -16,8 +16,10 @@ turns it into a bucket-partitioned equi-join.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
 
 DIM = 64  # testdata embedding dimensionality (asserted at runtime)
 
@@ -131,7 +133,11 @@ def ann_lsh_topk(
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 3, seed: int = 42) -> np.ndarray:
     """Tiny deterministic Lloyd's k-means on a driver-side sample — the IVF
     coarse quantizer. At 100 TB the sample is a bounded-size
-    `df.sample(...).limit(...)` collect; centroids stay driver-sized."""
+    `df.sample(...).limit(...)` collect; centroids stay driver-sized.
+
+    Distances use the ||s||² − 2·s·c + ||c||² expansion (argmin drops the
+    ||s||² row constant): an (n × k) matmul instead of the (n × k × dim)
+    broadcast cube, so k=1024 trains in MBs, not GBs."""
     n = sample.shape[0]
     idx = np.arange(n, dtype=np.uint64)
     # compute the splitmix offset in Python ints (wraparound intended);
@@ -140,35 +146,86 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 3, seed: int = 42) -> 
     with np.errstate(over="ignore"):
         z = (idx + offset) * np.uint64(0xBF58476D1CE4E5B9)
     order = np.argsort(z)
-    centroids = sample[order[:k]].astype(np.float64)
+    sample = sample.astype(np.float64)
+    centroids = sample[order[:k]].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(k):
-            members = sample[assign == c]
-            if members.shape[0]:
-                centroids[c] = members.mean(axis=0)
+        c_sq = (centroids * centroids).sum(axis=1)
+        assign = (c_sq[None, :] - 2.0 * (sample @ centroids.T)).argmin(axis=1)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=centroids.shape[0])
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centroids
+
+
+def ivf_train(
+    df: DataFrame,
+    n_clusters: int = 8,
+    sample_rows: int = 2000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer on a bounded driver-side sample."""
+    sample = np.array(
+        [r[vec_col] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    return _kmeans_lite(sample, n_clusters)
+
+
+# above this, the expression argmin (linear-size tree, but k x dim
+# float literals baked into the plan) stops being worth compiling —
+# the Arrow-batched numpy argmin takes over
+IVF_EXPR_MAX_CENTROIDS = 64
+
+
+def _ivf_assign_np(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id via a broadcast-centroid numpy argmin in an
+    Arrow-batched pandas UDF — one (batch × k) matmul per Arrow batch.
+    The scale path for large codebooks (k up to tens of thousands):
+    the centroid matrix ships once per worker in the UDF closure."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (cent * cent).sum(axis=1)
+
+    @pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if X.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        d = c_sq[None, :] - 2.0 * (X @ cent.T)  # + ||x||^2 is row-constant
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign(vec)
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id; codegen'd JVM expression for small codebooks,
+    Arrow-batched numpy argmin past IVF_EXPR_MAX_CENTROIDS."""
+    if centroids.shape[0] <= IVF_EXPR_MAX_CENTROIDS:
+        return ivf_assign_col(vec, centroids)
+    return _ivf_assign_np(vec, centroids)
 
 
 def ivf_assign_col(vec: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid id as a JVM expression (argmin over per-centroid
-    squared distances — no UDF; codegen'd per row)."""
-    best_id = F.lit(0)
-    best_d = None
-    for c in range(centroids.shape[0]):
-        cen = F.array(*[F.lit(float(x)) for x in centroids[c]])
-        d = F.aggregate(
-            F.zip_with(vec, cen, lambda x, y: (x - y) * (x - y)),
+    squared distances — no UDF; codegen'd per row). The distances form
+    ONE array expression and the argmin is array_min + array_position
+    (first occurrence = lowest index on ties, matching numpy), so the
+    tree grows LINEARLY in k — the earlier when-chain re-embedded the
+    running best under every branch, doubling the tree per centroid
+    (2^k nodes: k=16 was already a 65k-node interpreted predicate)."""
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in centroids[c]]),
+                lambda x, y: (x - y) * (x - y),
+            ),
             F.lit(0.0), lambda acc, x: acc + x,
         )
-        if best_d is None:
-            best_d = d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(c)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id.cast("int")
+        for c in range(centroids.shape[0])
+    ])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def ivf_topk(
@@ -181,21 +238,90 @@ def ivf_topk(
     vec_col: str = "embedding",
     key: str = "vec_id",
 ) -> DataFrame:
-    """IVF ANN: coarse-quantize with k-means centroids (trained on a
-    deterministic driver-side sample), score only the n_probe clusters
-    nearest to the query. The scale path partitions/clusters the table by
-    ivf cluster id so a probe is a partition-pruned scan."""
-    sample = np.array(
-        [r[vec_col] for r in df.select(vec_col).limit(sample_rows).collect()],
-        dtype=np.float64,
-    )
-    cents = _kmeans_lite(sample, n_clusters)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    dists = ((cents - qv[None, :]) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(dists)[:n_probe]]
+    """IVF ANN, ad-hoc variant: coarse-quantize with k-means centroids
+    (trained on a deterministic driver-side sample), score only the
+    n_probe clusters nearest to the query — one full pass to assign.
+    The scale path is ``ivf_write_clustered`` + ``ivf_probe_topk``:
+    assign ONCE at write time, store partitioned by cluster id, and a
+    probe becomes a partition-pruned scan of n_probe directories."""
+    cents = ivf_train(df, n_clusters, sample_rows, vec_col)
+    probes = _nearest_clusters(cents, query_vec, n_probe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        df.withColumn("_cluster", ivf_assign_col(F.col(vec_col), cents))
+        df.withColumn("_cluster", ivf_assign(F.col(vec_col), cents))
+        .filter(F.col("_cluster").isin(probes))
+        .select(
+            F.col(key),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(key))
+        .limit(k)
+    )
+
+
+def _nearest_clusters(
+    centroids: np.ndarray, query_vec: list[float], n_probe: int
+) -> list[int]:
+    qv = np.asarray(query_vec, dtype=np.float64)
+    dists = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(dists)[:n_probe]]
+
+
+def ivf_write_clustered(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the table PARTITIONED BY ivf cluster id (hive-style
+    ``_cluster=N/`` directories) with the codebook stored alongside
+    (dot-prefixed — invisible to the parquet reader). This is the write
+    half of the IVF scale path: assignment cost is paid once; every
+    probe afterwards reads only its n_probe directories (PartitionFilters
+    in the scan, verified in tests/test_recall_gates.py)."""
+    import io
+    import os
+
+    (
+        df.withColumn("_cluster", ivf_assign(F.col(vec_col), centroids))
+        .write.mode("overwrite")
+        .partitionBy("_cluster")
+        .parquet(path)
+    )
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(centroids, dtype=np.float64))
+    with open(os.path.join(path, ".ivf_centroids.npy"), "wb") as f:
+        f.write(buf.getvalue())
+
+
+def ivf_read_centroids(path: str) -> np.ndarray:
+    import os
+
+    with open(os.path.join(path, ".ivf_centroids.npy"), "rb") as f:
+        import io
+
+        return np.load(io.BytesIO(f.read()))
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Query half of the IVF scale path: rank the stored codebook's
+    centroids against the query on the driver (codebook is MBs at tens
+    of thousands of centroids), then scan ONLY the n_probe nearest
+    ``_cluster=N/`` partitions — partition pruning, no assignment work,
+    no full-table pass."""
+    cents = ivf_read_centroids(path)
+    probes = _nearest_clusters(cents, query_vec, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
         .filter(F.col("_cluster").isin(probes))
         .select(
             F.col(key),

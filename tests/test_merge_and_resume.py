@@ -107,3 +107,49 @@ def test_determinism_across_parallelism(spark, tmp_root):
     build_index(spark, corpus_df(spark, N, partitions=2), a, n_shards=4, n_groups=1)
     build_index(spark, corpus_df(spark, N, partitions=16), b, n_shards=4, n_groups=2)
     assert index_fingerprint(spark, a) == index_fingerprint(spark, b)
+
+
+def test_reader_survives_merge_gc_grace(spark, tmp_root, monkeypatch):
+    """Reader-visibility GC delay: with DPOSS_GC_GRACE_SEC set, a merge
+    RETIRES the consumed dirs (manifest ledger) instead of deleting
+    them, so a reader that resolved the PREVIOUS manifest completes its
+    scan; a later drain past the grace deletes them for real."""
+    from data_prep_opensearch_spark.operators import manifest as mf
+    from data_prep_opensearch_spark.operators.incremental import add_documents
+
+    idx = os.path.join(tmp_root, "idx_gc_grace")
+    full = corpus_df(spark, N)
+    base = full.filter(F.xxhash64("repo", "path", "commit") % 2 == 0)
+    delta = full.filter(F.xxhash64("repo", "path", "commit") % 2 != 0)
+    build_index(spark, base, idx, n_shards=4, n_groups=1)
+    add_documents(spark, idx, delta)
+
+    m_old = mf.load_manifest(idx)
+    old_seg_rels = [e["path"] for e in m_old["segments"]]
+    assert len(old_seg_rels) >= 2  # base + delta generation dirs
+    # a reader bound to the CURRENT (soon to be previous) manifest
+    reader = mf.read_segments(spark, idx)
+    n_before = reader.count()
+
+    monkeypatch.setenv(mf.GC_GRACE_ENV, "3600")
+    merge_segments(spark, idx, fan_in=8)
+
+    m_new = mf.load_manifest(idx)
+    live = {e["path"] for e in m_new["segments"]}
+    retired = {e["path"] for e in m_new.get("retired", [])}
+    assert set(old_seg_rels) & retired, "consumed dirs must be ledgered"
+    assert not (set(old_seg_rels) & live)
+    # the reader's dirs still exist: its in-flight scan completes
+    for rel in old_seg_rels:
+        assert os.path.exists(os.path.join(idx, rel)), rel
+    assert reader.count() == n_before
+    assert [r for r in reader.limit(5).collect()]
+
+    # nothing ages out inside the grace window
+    assert mf.gc_retired(idx) == []
+    # force the grace past: dirs are deleted and the ledger drains
+    drained = mf.gc_retired(idx, grace_sec=0)
+    assert set(drained) >= set(old_seg_rels) - live
+    for rel in set(old_seg_rels) - live:
+        assert not os.path.exists(os.path.join(idx, rel)), rel
+    assert mf.load_manifest(idx).get("retired", []) == []

@@ -103,6 +103,90 @@ def test_ann_ivf_recall_at_10(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_assign_np_matches_expression(spark, emb):
+    """The Arrow-batched numpy argmin (large-codebook path) must agree
+    with the codegen'd JVM expression argmin on the same codebook."""
+    from data_prep_opensearch_spark.operators.similarity import (
+        _ivf_assign_np,
+        ivf_assign_col,
+        ivf_train,
+    )
+
+    cents = ivf_train(emb, n_clusters=16)
+    got = (
+        emb.select(
+            "vec_id",
+            ivf_assign_col(F.col("embedding"), cents).alias("expr_c"),
+            _ivf_assign_np(F.col("embedding"), cents).alias("np_c"),
+        )
+        .filter(F.col("expr_c") != F.col("np_c"))
+        .count()
+    )
+    assert got == 0
+
+
+def test_ivf_clustered_1024_partition_pruned(spark, tmp_root):
+    """The IVF scale path at a 1024-centroid codebook on the sf0.1
+    embedding table: assignment goes through the numpy argmin (the
+    expression tree self-documents a ~hundreds cap), the table is
+    written partitioned by cluster id, and a probe is a PARTITION-PRUNED
+    scan — the parquet source's PartitionFilters carry the _cluster
+    predicate and only the probed directories are read."""
+    import os
+
+    from data_prep_opensearch_spark.operators.similarity import (
+        IVF_EXPR_MAX_CENTROIDS,
+        brute_force_topk,
+        ivf_probe_topk,
+        ivf_train,
+        ivf_write_clustered,
+    )
+
+    sf01 = "/root/testdata/sf0.1/embeddings.parquet"
+    if not os.path.exists(sf01):
+        pytest.skip("sf0.1 testdata not present")
+    big = (
+        spark.read.parquet(sf01)
+        .withColumn("embedding",
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")))
+        .select("vec_id", "embedding", "label")
+    )
+    both = _with_planted(spark, big).localCheckpoint(eager=True)
+    n_total = both.count()
+
+    cents = ivf_train(both, n_clusters=1024, sample_rows=2000)
+    assert cents.shape[0] == 1024 > IVF_EXPR_MAX_CENTROIDS
+    path = os.path.join(tmp_root, "ivf_clustered_1024")
+    ivf_write_clustered(both, path, cents)
+
+    q = _qvec(big, 0)
+    probe = ivf_probe_topk(spark, path, q, k=10, n_probe=64)
+    # partition pruning, structurally: the scan's PartitionFilters carry
+    # the _cluster predicate (not a post-scan Filter over all rows)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:400]
+    assert "_cluster" in pf
+    # ...and behaviorally: the probed scan touches a fraction of the rows
+    cents_probed = spark.read.parquet(path).filter(
+        F.col("_cluster").isin(
+            [int(c) for c in range(1024)]
+        )
+    )
+    assert cents_probed.count() == n_total  # clustered table is complete
+    from data_prep_opensearch_spark.operators.similarity import _nearest_clusters
+
+    probes = _nearest_clusters(cents, q, 64)
+    n_scanned = spark.read.parquet(path).filter(
+        F.col("_cluster").isin(probes)).count()
+    assert n_scanned < 0.5 * n_total
+
+    # recall gate vs the exact answer (planted near-neighbors regime)
+    exact = {r["vec_id"] for r in brute_force_topk(both, q, k=10).collect()}
+    approx = {r["vec_id"] for r in probe.collect()}
+    assert len(exact & approx) / 10 >= 0.9, (sorted(exact), sorted(approx))
+
+
 def test_embedding_near_dup_pair_recall(spark, emb):
     """LSH-bucketed near-dup pairs vs the exact all-pairs answer (test
     scale only: the exact join is O(n²))."""
