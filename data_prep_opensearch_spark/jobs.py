@@ -7,6 +7,7 @@
     ... jobs.py add    --index <index_dir> --source <parquet_dir>
     ... jobs.py delete --index <index_dir> --ids <parquet_dir_with_doc_id>
     ... jobs.py bench-corpus --docs N --out <parquet_dir>
+    ... jobs.py gc     --index <index_dir> [--grace-sec S]
 
 On a cluster the session comes from spark-submit's conf; locally a
 local[*] session is created. All jobs are idempotent/resumable via the
@@ -71,7 +72,23 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--reason", default="")
 
+    gc = sub.add_parser("gc")
+    gc.add_argument("--index", required=True)
+    gc.add_argument("--grace-sec", type=float, default=None,
+                    help="override $DPOSS_GC_GRACE_SEC; 0 drains everything")
+
     args = p.parse_args(argv)
+    if args.cmd == "gc":
+        # drain the manifest's retired-dir ledger past the grace period;
+        # an idle index otherwise keeps retired dirs until its next write
+        # (operators/manifest.py reader-visibility GC delay)
+        from data_prep_opensearch_spark.operators.locks import index_lock
+        from data_prep_opensearch_spark.operators.manifest import gc_retired
+
+        with index_lock(args.index, purpose="gc"):
+            removed = gc_retired(args.index, grace_sec=args.grace_sec)
+        print(json.dumps({"gc_removed": removed}))
+        return 0
     if args.cmd == "cancel":
         # no Spark session needed: the flag is a small file the running
         # writer polls at its next safe point (operators/cancellation.py)
