@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--scorer", default="auto", choices=["auto", "wand", "dense"])
+    q.add_argument("--local", action="store_true",
+                   help="driver-local latency tier (falls back to the "
+                        "distributed path past the posting-mass guard)")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -116,9 +119,16 @@ def main(argv: list[str] | None = None) -> int:
             sort_segments(spark, args.index)
         print(json.dumps(meta))
     elif args.cmd == "query":
-        from data_prep_opensearch_spark.operators.bm25 import query_topk
+        if args.local:
+            from data_prep_opensearch_spark.operators.bm25 import BM25Engine
 
-        rows = query_topk(spark, args.index, args.q, args.k, scorer=args.scorer).collect()
+            eng = BM25Engine(spark, args.index, cache=False)
+            rows = eng.topk_local(args.q, args.k, scorer=args.scorer).collect()
+        else:
+            from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+            rows = query_topk(spark, args.index, args.q, args.k,
+                              scorer=args.scorer).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
     elif args.cmd == "merge":
         from data_prep_opensearch_spark.operators.segment_merge import merge_segments

@@ -98,3 +98,39 @@ def test_topk_batch_empty_and_mixed(spark, built_index):
     qids = {int(r["query_id"]) for r in rows}
     assert qids == {1}
     assert len([r for r in rows if r["query_id"] == 1]) == 5
+
+
+def test_topk_local_parity(spark, built_index):
+    """The driver-local latency tier must return docIDs and scores
+    identical to the distributed path for every reference query, warm
+    path included (second call hits the driver caches, zero jobs)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    k = 10
+    for q in reference_query_set():
+        dist = [(r["doc_id"], round(r["score"], 12))
+                for r in eng.topk(q["query"], k).collect()]
+        for _rep in range(2):  # cold fetch, then warm cache
+            loc = [(r["doc_id"], round(r["score"], 12))
+                   for r in eng.topk_local(q["query"], k).collect()]
+            assert loc == dist, q["query"]
+    # absent-term query: empty on both paths
+    assert eng.topk_local("zzz_absent_only", k).count() == 0
+
+
+def test_topk_local_fallback_guard(spark, built_index):
+    """A query whose posting mass exceeds the cap must fall back to the
+    distributed path (and still agree, trivially)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=False)
+    got = [(r["doc_id"], round(r["score"], 12))
+           for r in eng.topk_local("import def", 10, max_postings=1).collect()]
+    want = [(r["doc_id"], round(r["score"], 12))
+            for r in eng.topk("import def", 10).collect()]
+    assert got == want
+    # the guard kept the local caches empty
+    assert eng._local_rows == {}
