@@ -390,10 +390,7 @@ class BM25Engine:
                 plans.append(([], {}, None))
                 continue
             idf_map = {t: idf(n_docs, df_map[t]) for t in ts}
-            s = scorer
-            if s == "auto":
-                hot = max(df_map[t] for t in ts) > 0.1 * n_docs
-                s = "dense" if (len(ts) == 1 or hot) else "wand"
+            s = self._pick_scorer(ts, df_map, n_docs, scorer)
             fn = _score_shard_wand if s == "wand" else _score_shard_dense
             plans.append((ts, idf_map, fn))
 
