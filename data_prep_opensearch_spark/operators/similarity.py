@@ -164,12 +164,18 @@ def ivf_train(
     n_clusters: int = 8,
     sample_rows: int = 2000,
     vec_col: str = "embedding",
+    key: str = "vec_id",
 ) -> np.ndarray:
-    """Train the IVF coarse quantizer on a bounded driver-side sample."""
-    sample = np.array(
-        [r[vec_col] for r in df.select(vec_col).limit(sample_rows).collect()],
-        dtype=np.float64,
+    """Train the IVF coarse quantizer on a bounded driver-side sample.
+    The sample is the first ``sample_rows`` rows BY KEY ORDER — a bare
+    ``limit()`` takes whatever partitions answer first, so the trained
+    codebook (and every cluster assignment derived from it) would vary
+    with cluster layout; ordering by the key makes training a pure
+    function of the data."""
+    rows = (
+        df.select(key, vec_col).orderBy(key).limit(sample_rows).collect()
     )
+    sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
     return _kmeans_lite(sample, n_clusters)
 
 
@@ -244,7 +250,7 @@ def ivf_topk(
     The scale path is ``ivf_write_clustered`` + ``ivf_probe_topk``:
     assign ONCE at write time, store partitioned by cluster id, and a
     probe becomes a partition-pruned scan of n_probe directories."""
-    cents = ivf_train(df, n_clusters, sample_rows, vec_col)
+    cents = ivf_train(df, n_clusters, sample_rows, vec_col, key)
     probes = _nearest_clusters(cents, query_vec, n_probe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
