@@ -1722,6 +1722,128 @@ def rel_translations_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ft_clean_str",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN '  he' || chr(769) || 'llo  wo' || chr(776) || 'rld  '
+          WHEN 1 THEN 'a' || chr(8203) || 'b' || chr(8204) || 'c'
+                      || chr(8205) || 'd' || chr(65279) || 'e'
+          WHEN 2 THEN 'ab' || chr(1) || chr(7) || 'cd' || chr(9) || chr(10)
+                      || 'ef' || chr(31) || chr(127) || 'g'
+          WHEN 3 THEN 'a' || chr(160) || 'b   c' || chr(160) || chr(160) || 'd'
+          ELSE text
+        END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(
+          regexp_replace(
+            regexp_replace(nfc_normalize(s),
+              '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+            '[\x01-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+          chr(160), ' '),
+        '[ \t\n\r\f]+', ' ', 'g')) AS cleaned
+    FROM planted
+    """,
+    covers=["F2 clean_str (common/utils.py:276-293): NFC normalize, "
+            "zero-width + control strip, NBSP -> space, whitespace "
+            "collapse — planted combining marks, ZW chars, controls"],
+)
+def ft_clean_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted inputs exercise each rule: case 0 combining marks (NFC
+    composes e+U+0301 -> é), case 1 zero-width chars, case 2 control
+    chars + tab/newline collapse, case 3 NBSP, case 4 natural text
+    (already clean; trims only). Planted whitespace stays ASCII+NBSP —
+    Python's \\s is unicode-wide while RE2's is ASCII, so exotic unicode
+    spaces would be an engine-vs-oracle regex dialect artifact, not an
+    operator difference."""
+    from data_prep_opensearch_spark.functions.text import clean_str_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    c = F.col("doc_id") % 5
+    planted = d.withColumn(
+        "s",
+        # case 0 is DECOMPOSED (e + U+0301, o + U+0308) so the engine's
+        # NFC step is exercised, not a no-op
+        F.when(c == 0, F.lit("  he\u0301llo  wo\u0308rld  "))
+        .when(c == 1, F.lit("a\u200bb\u200cc\u200dd\ufeffe"))
+        .when(c == 2, F.lit("ab\x01\x07cd\t\nef\x1f\x7fg"))
+        .when(c == 3, F.lit("a\u00a0b   c\u00a0\u00a0d"))
+        .otherwise(F.col("text")),
+    )
+    return planted.select("doc_id", clean_str_udf(F.col("s")).alias("cleaned"))
+
+
+@register(
+    "ft_normalize_dates",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN '2024-03-05'
+          WHEN 1 THEN '2024-03-05T10:20:30Z'
+          WHEN 2 THEN '05/03/2024'
+          WHEN 3 THEN 'March 5, 2024'
+          WHEN 4 THEN '5th March 2024'
+          WHEN 5 THEN '2024-03-05T23:30:00-05:00'
+          ELSE 'not a date at all'
+        END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE doc_id % 7
+        WHEN 0 THEN strftime(strptime(s, '%Y-%m-%d'), '%Y-%m-%d')
+        WHEN 1 THEN strftime(
+          strptime(s, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%d')
+        WHEN 2 THEN strftime(strptime(s, '%d/%m/%Y'), '%Y-%m-%d')
+        WHEN 3 THEN strftime(
+          strptime(regexp_replace(s, '\s*,\s*', ' ', 'g'), '%B %d %Y'),
+          '%Y-%m-%d')
+        WHEN 4 THEN strftime(
+          strptime(regexp_replace(s, '(\d{1,2})(st|nd|rd|th)\b', '\1', 'g'),
+                   '%d %B %Y'), '%Y-%m-%d')
+        WHEN 5 THEN strftime(
+          CAST(strptime(s, '%Y-%m-%dT%H:%M:%S%z') AT TIME ZONE 'UTC'
+               AS DATE), '%Y-%m-%d')
+        ELSE NULL
+      END AS norm_date
+    FROM planted
+    """,
+    covers=["F5 date normalization (common/utils.py:143-209): ordinal "
+            "strip, comma tolerance, ISO-first, day-first fallback, "
+            "tz-aware -> UTC calendar date; each planted case exercises "
+            "one branch, recomputed by DuckDB's parser for that branch"],
+)
+def ft_normalize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One planted case per branch of the reference's priority order:
+    ISO date, ISO datetime with Z, day-first numeric, month-name with
+    comma, ordinal suffix, tz-offset datetime (UTC conversion moves the
+    calendar date: 23:30-05:00 -> 04:30 next day), and garbage -> NULL
+    (the reference raises; the UDF propagates null to the dropped-
+    records sink)."""
+    from data_prep_opensearch_spark.functions.text import normalize_date_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    c = F.col("doc_id") % 7
+    planted = d.withColumn(
+        "s",
+        F.when(c == 0, F.lit("2024-03-05"))
+        .when(c == 1, F.lit("2024-03-05T10:20:30Z"))
+        .when(c == 2, F.lit("05/03/2024"))
+        .when(c == 3, F.lit("March 5, 2024"))
+        .when(c == 4, F.lit("5th March 2024"))
+        .when(c == 5, F.lit("2024-03-05T23:30:00-05:00"))
+        .otherwise(F.lit("not a date at all")),
+    )
+    return planted.select(
+        "doc_id", normalize_date_udf(F.col("s")).alias("norm_date")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (synthetic payloads; full byte-histogram oracle)
 # ---------------------------------------------------------------------------
