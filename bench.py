@@ -420,20 +420,25 @@ def main() -> None:
         # driver-local latency tier: zero Spark jobs warm (the single-
         # query answer to the scheduling floor); min of 2 reps — rep 1
         # of each query pays the one-off cold fetch, rep 2 is warm
-        lat_local = []
+        lat_local, lat_local_pd = [], []
         for q in reference_query_set():
-            reps = []
+            reps, reps_pd = [], []
             for _ in range(2):
                 t0 = time.monotonic()
                 engine.topk_local(q["query"], q["k"]).collect()
                 reps.append((time.monotonic() - t0) * 1000)
+                t0 = time.monotonic()
+                engine.topk_local(q["query"], q["k"], as_pandas=True)
+                reps_pd.append((time.monotonic() - t0) * 1000)
             lat_local.append(min(reps))
-        ls = sorted(lat_local)
-        result["bm25"]["local"] = {
-            "n_queries": len(ls),
-            "p50_ms": round(statistics.median(ls), 1),
-            "p95_ms": round(ls[int(0.95 * (len(ls) - 1))], 1),
-        }
+            lat_local_pd.append(min(reps_pd))
+        for tag, lat in (("local", lat_local), ("local_pd", lat_local_pd)):
+            ls = sorted(lat)
+            result["bm25"][tag] = {
+                "n_queries": len(ls),
+                "p50_ms": round(statistics.median(ls), 1),
+                "p95_ms": round(ls[int(0.95 * (len(ls) - 1))], 1),
+            }
 
         # batched path: all reference queries in ONE Spark job (the scale
         # answer to the ~0.4s per-job scheduling floor); min of 2 reps
@@ -554,7 +559,7 @@ def main() -> None:
         f"local{LOW * 4}_docs_per_sec": ib.get(f"local{LOW * 4}_docs_per_sec"),
         "bm25_p50_ms": {
             s: result.get("bm25", {}).get(s, {}).get("p50_ms")
-            for s in ("wand", "auto", "local")
+            for s in ("wand", "auto", "local", "local_pd")
         },
         "bm25_batch_ms_per_query": result.get("bm25", {})
         .get("batch", {})

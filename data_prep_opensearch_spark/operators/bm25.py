@@ -245,7 +245,8 @@ class BM25Engine:
         k: int = 10,
         scorer: str = "auto",
         max_postings: int | None = None,
-    ) -> DataFrame:
+        as_pandas: bool = False,
+    ) -> DataFrame | pd.DataFrame:
         """Driver-local LATENCY TIER: identical scores to ``topk`` (same
         scorer kernels on the same decoded bytes — parity-tested), but
         the warm path runs ZERO Spark jobs. Sandbox-scale warm single-
@@ -261,18 +262,30 @@ class BM25Engine:
         and belong on executors; the selective queries a latency tier
         exists for stay MBs. Cold per new term: one filtered-scan job
         for the rows (dfs are derived from them, seeding the dictionary
-        cache) + one for unseen shards' sidecars."""
+        cache) + one for unseen shards' sidecars.
+
+        ``as_pandas=True`` returns the result as a pandas DataFrame
+        directly — the natural shape for a driver-local tier (the
+        default Spark-DataFrame return pays a local-relation round-trip
+        that roughly doubles warm latency; values are identical)."""
         spark = self.spark
+
+        def _out(pdf: pd.DataFrame):
+            if as_pandas:
+                return pdf.reset_index(drop=True)
+            return spark.createDataFrame(pdf, TOPK_SCHEMA)
+
         terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
         if not terms:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return _out(_empty_topk())
         df_map = self.resolve_df(terms)
         terms = [t for t in terms if df_map[t] > 0]
         if not terms:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return _out(_empty_topk())
         cap = self.LOCAL_MAX_POSTINGS if max_postings is None else max_postings
         if sum(df_map[t] for t in terms) > cap:
-            return self.topk(query, k, scorer)
+            dist = self.topk(query, k, scorer)
+            return dist.toPandas() if as_pandas else dist
 
         missing = [t for t in terms if t not in self._local_rows]
         if missing:
@@ -290,7 +303,7 @@ class BM25Engine:
             self._local_bytes += size
         all_rows = [d for t in terms for d in self._local_rows[t]]
         if not all_rows:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return _out(_empty_topk())
         s_missing = sorted(
             {int(d["shard"]) for d in all_rows} - self._local_side.keys()
         )
@@ -320,7 +333,7 @@ class BM25Engine:
                 (res["doc_id"].to_numpy(), -res["score"].to_numpy())
             )[:k]
             res = res.iloc[sel]
-        return spark.createDataFrame(res, TOPK_SCHEMA)
+        return _out(res)
 
     def topk(self, query: str, k: int = 10, scorer: str = "auto") -> DataFrame:
         spark = self.spark

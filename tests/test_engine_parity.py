@@ -116,6 +116,10 @@ def test_topk_local_parity(spark, built_index):
             loc = [(r["doc_id"], round(r["score"], 12))
                    for r in eng.topk_local(q["query"], k).collect()]
             assert loc == dist, q["query"]
+        pdf = eng.topk_local(q["query"], k, as_pandas=True)
+        loc_pd = [(int(r.doc_id), round(float(r.score), 12))
+                  for r in pdf.itertuples()]
+        assert loc_pd == dist, q["query"]
     # absent-term query: empty on both paths
     assert eng.topk_local("zzz_absent_only", k).count() == 0
 
