@@ -137,4 +137,39 @@ def test_topk_local_fallback_guard(spark, built_index):
             for r in eng.topk("import def", 10).collect()]
     assert got == want
     # the guard kept the local caches empty
-    assert eng._local_rows == {}
+    assert eng._local_flat == {}
+
+
+def test_topk_local_parity_after_deletes(spark, tmp_root):
+    """The local tier's flat-path tombstone masking must agree with the
+    distributed scorers after deletes: same survivors, same scores, no
+    deleted doc in the top-k."""
+    import os
+
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.incremental import delete_documents
+    from data_prep_opensearch_spark.operators.index_build import (
+        build_index,
+        sort_segments,
+    )
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+    from data_prep_opensearch_spark.sources.corpus import corpus_df
+    from pyspark.sql import functions as F
+
+    idx = os.path.join(tmp_root, "local_del_idx")
+    build_index(spark, corpus_df(spark, 300), idx, n_shards=4, n_groups=1)
+    sort_segments(spark, idx)
+    victims = read_doc_stats(spark, idx).filter(
+        F.col("doc_id") % 3 == 0).select("doc_id")
+    victim_ids = {r["doc_id"] for r in victims.collect()}
+    assert victim_ids
+    delete_documents(spark, idx, victims)
+
+    eng = BM25Engine(spark, idx, cache=False)
+    for q in ("import def", "needle0 import", "sym1 fn3 return"):
+        dist = [(r["doc_id"], round(r["score"], 12))
+                for r in eng.topk(q, 10).collect()]
+        loc = [(int(r.doc_id), round(float(r.score), 12))
+               for r in eng.topk_local(q, 10, as_pandas=True).itertuples()]
+        assert loc == dist, q
+        assert not ({d for d, _ in loc} & victim_ids)
