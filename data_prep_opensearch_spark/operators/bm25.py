@@ -362,8 +362,13 @@ class BM25Engine:
                 self._local_flat[t] = (docs, tfs, dls)
                 size += docs.nbytes + int(tfs.nbytes) + int(dls.nbytes)
             if self._local_bytes + size > self.LOCAL_CACHE_BYTES:
-                self._local_flat = {t: self._local_flat[t] for t in missing}
-                self._local_bytes = size
+                # evict down to THIS query's terms (missing AND already-
+                # cached — the scoring loop below reads all of them)
+                self._local_flat = {t: self._local_flat[t] for t in terms}
+                self._local_bytes = sum(
+                    sum(int(a.nbytes) for a in v)
+                    for v in self._local_flat.values()
+                )
             else:
                 self._local_bytes += size
 

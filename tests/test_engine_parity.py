@@ -173,3 +173,24 @@ def test_topk_local_parity_after_deletes(spark, tmp_root):
                for r in eng.topk_local(q, 10, as_pandas=True).itertuples()]
         assert loc == dist, q
         assert not ({d for d, _ in loc} & victim_ids)
+
+
+def test_topk_local_cache_eviction_keeps_current_query(spark, built_index):
+    """Eviction triggered by a mixed cached/missing term set must retain
+    the CURRENT query's already-cached terms (a cut that kept only the
+    missing terms KeyError'd right after eviction)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=False)
+    eng.LOCAL_CACHE_BYTES = 1  # every fetch overflows the budget
+    a = [(int(r.doc_id), round(float(r.score), 12))
+         for r in eng.topk_local("import", 10, as_pandas=True).itertuples()]
+    assert a
+    # 'import' is cached; 'def' is missing -> eviction path with a mix
+    got = [(int(r.doc_id), round(float(r.score), 12))
+           for r in eng.topk_local("import def", 10, as_pandas=True).itertuples()]
+    want = [(r["doc_id"], round(r["score"], 12))
+            for r in eng.topk("import def", 10).collect()]
+    assert got == want
+    assert set(eng._local_flat) == {"def", "import"}
