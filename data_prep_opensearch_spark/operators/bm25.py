@@ -325,10 +325,18 @@ class BM25Engine:
                         None if dd["deleted"] is None
                         else np.asarray(dd["deleted"], dtype=np.int64)
                     )
+                    dl_arr = vbyte_decode(bytes(dd["dl_bytes"])).astype(
+                        np.float64
+                    )
                     self._local_side[int(dd["shard"])] = (
-                        int(dd["base"]),
-                        vbyte_decode(bytes(dd["dl_bytes"])).astype(np.float64),
-                        deleted,
+                        int(dd["base"]), dl_arr, deleted
+                    )
+                    # sidecar arrays count against the SAME budget as the
+                    # flat postings: at 10^12 docs the per-shard doclen
+                    # arrays alone are GBs — an unaccounted sidecar cache
+                    # would make LOCAL_CACHE_BYTES a fiction
+                    self._local_bytes += int(dl_arr.nbytes) + (
+                        int(deleted.nbytes) if deleted is not None else 0
                     )
                 dels = [d for _, _, d in self._local_side.values()
                         if d is not None and d.size]
@@ -362,12 +370,34 @@ class BM25Engine:
                 self._local_flat[t] = (docs, tfs, dls)
                 size += docs.nbytes + int(tfs.nbytes) + int(dls.nbytes)
             if self._local_bytes + size > self.LOCAL_CACHE_BYTES:
-                # evict down to THIS query's terms (missing AND already-
-                # cached — the scoring loop below reads all of them)
+                # evict down to THIS query's working set: its terms'
+                # flat arrays AND the sidecars of the shards they touch
+                # (derived from docIDs: shard = doc // shard_width)
                 self._local_flat = {t: self._local_flat[t] for t in terms}
+                width = int(self.meta["shard_width"])
+                kept_shards: set[int] = set()
+                for docs_t, _, _ in self._local_flat.values():
+                    if docs_t.size:
+                        kept_shards.update(
+                            (np.unique(docs_t // width)).tolist()
+                        )
+                self._local_side = {
+                    sh: v for sh, v in self._local_side.items()
+                    if sh in kept_shards
+                }
+                dels = [d for _, _, d in self._local_side.values()
+                        if d is not None and d.size]
+                self._local_deleted = (
+                    np.unique(np.concatenate(dels)) if dels
+                    else np.zeros(0, dtype=np.int64)
+                )
                 self._local_bytes = sum(
                     sum(int(a.nbytes) for a in v)
                     for v in self._local_flat.values()
+                ) + sum(
+                    int(dl.nbytes)
+                    + (int(d.nbytes) if d is not None else 0)
+                    for _, dl, d in self._local_side.values()
                 )
             else:
                 self._local_bytes += size
@@ -710,26 +740,26 @@ def _score_shard_wand(
 
     COST ROUTER: exact per-shard top-k cannot prune when (a) the terms
     other than the heaviest cannot even fill the k-pool that defines the
-    threshold, or (b) every term is stopword-class (the dense kernel
-    touches each posting once with pure numpy — nothing to skip). In
-    those regimes this function delegates to the dense kernel, so the
-    pruned scorer never loses to it; the lazy path engages exactly where
-    skipping can pay.
+    threshold, or (b) no prefix of the ub-sorted terms dominates the
+    rest strongly enough to pay for the candidate bookkeeping (the
+    8x df-margin below). In those regimes this function delegates to
+    the dense kernel, so the pruned scorer never loses to it; the lazy
+    path engages exactly where skipping can pay — including stopword-
+    heavy TAILS behind a needle head (total df alone is deliberately
+    not a dense-trigger).
     """
     if len(grp) == 0:
         return _empty_topk()
     dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
-    # cost router FIRST, from metadata columns only (no posting decode):
+    # cost router FIRST, from metadata columns only (no posting decode).
+    # Two gates (total-df alone is NOT one — see the prunable comment):
     #   - df shape: the terms besides the heaviest must be able to fill
     #     the k-pool, else no threshold ever activates;
-    #   - total df vs shard population: stopword-class queries touch
-    #     every posting either way — the dense kernel's single numpy
-    #     pass wins;
-    #   - BOUND SPREAD: pruning pays only when some suffix of the
-    #     ub-sorted terms is dominated by the prefix (∃m: Σub[m:] <
-    #     0.5·Σub[:m]). Flat-spread term sets (equal idf/max_tf) give
-    #     the threshold nothing to beat, and the lazy path's candidate
-    #     bookkeeping just loses to the dense accumulator.
+    #   - BOUND SPREAD + DF MARGIN: pruning pays only when some prefix
+    #     of the ub-sorted terms dominates the tail's bounds (Σub_tail
+    #     < 0.5·Σub_head) AND the tail's posting mass dwarfs the head's
+    #     candidate bookkeeping (Σdf_tail > 8·Σdf_head). Flat-spread
+    #     term sets give the threshold nothing to beat.
     term_arr = grp["term"].to_numpy()
     df_arr = grp["df"].to_numpy()
     df_by_term: dict[str, int] = {}

@@ -195,18 +195,30 @@ def _ivf_assign_np(vec: Column, centroids: np.ndarray) -> Column:
 
     @pandas_udf(T.IntegerType())
     def assign(v: pd.Series) -> pd.Series:
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        if X.size == 0:
-            return pd.Series(np.zeros(0, dtype=np.int32))
-        d = c_sq[None, :] - 2.0 * (X @ cent.T)  # + ||x||^2 is row-constant
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        # null embeddings yield null cluster ids (matching the JVM
+        # expression path's null propagation), never a batch crash
+        mask = v.notna().to_numpy()
+        out = np.full(len(v), None, dtype=object)
+        if mask.any():
+            X = np.asarray([np.asarray(x, dtype=np.float64)
+                            for x in v[mask]])
+            d = c_sq[None, :] - 2.0 * (X @ cent.T)  # + ||x||^2 row-const
+            out[mask] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return assign(vec)
 
 
 def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid id; codegen'd JVM expression for small codebooks,
-    Arrow-batched numpy argmin past IVF_EXPR_MAX_CENTROIDS."""
+    Arrow-batched numpy argmin past IVF_EXPR_MAX_CENTROIDS.
+
+    Tie caveat: the two paths compute mathematically equal distances
+    with different floating-point rounding (sum of squared diffs vs the
+    ||c||²−2x·c expansion), so a vector near-EQUIDISTANT to two
+    centroids (difference inside double rounding) may be assigned to
+    either — harmless for an ANN structure (recall gates hold; the
+    parity test treats sub-1e-9 relative distance ties as agreement)."""
     if centroids.shape[0] <= IVF_EXPR_MAX_CENTROIDS:
         return ivf_assign_col(vec, centroids)
     return _ivf_assign_np(vec, centroids)

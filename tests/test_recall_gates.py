@@ -105,7 +105,12 @@ def test_ann_ivf_recall_at_10(spark, emb):
 
 def test_ivf_assign_np_matches_expression(spark, emb):
     """The Arrow-batched numpy argmin (large-codebook path) must agree
-    with the codegen'd JVM expression argmin on the same codebook."""
+    with the codegen'd JVM expression argmin on the same codebook —
+    except where a vector is near-equidistant to both chosen centroids
+    (the two paths round distances differently; such ties count as
+    agreement). Null embeddings must yield null on BOTH paths."""
+    import numpy as np
+
     from data_prep_opensearch_spark.operators.similarity import (
         _ivf_assign_np,
         ivf_assign_col,
@@ -113,16 +118,30 @@ def test_ivf_assign_np_matches_expression(spark, emb):
     )
 
     cents = ivf_train(emb, n_clusters=16)
-    got = (
+    mismatches = (
         emb.select(
-            "vec_id",
+            "vec_id", "embedding",
             ivf_assign_col(F.col("embedding"), cents).alias("expr_c"),
             _ivf_assign_np(F.col("embedding"), cents).alias("np_c"),
         )
         .filter(F.col("expr_c") != F.col("np_c"))
-        .count()
+        .collect()
     )
-    assert got == 0
+    for r in mismatches:  # only true near-ties may disagree
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        d1 = float(((x - cents[r["expr_c"]]) ** 2).sum())
+        d2 = float(((x - cents[r["np_c"]]) ** 2).sum())
+        assert abs(d1 - d2) <= 1e-9 * max(d1, d2, 1e-30), r["vec_id"]
+
+    # null embedding: null cluster id, no crash, on both paths
+    one_null = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<double>"
+    )
+    row = one_null.select(
+        ivf_assign_col(F.col("embedding"), cents).alias("expr_c"),
+        _ivf_assign_np(F.col("embedding"), cents).alias("np_c"),
+    ).collect()[0]
+    assert row["expr_c"] is None and row["np_c"] is None
 
 
 def test_ivf_clustered_1024_partition_pruned(spark, tmp_root):
