@@ -50,7 +50,9 @@ SESSION_OUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
     "n_events BIGINT"
 )
-SESSION_STATE_SCHEMA = "start_us BIGINT, end_us BIGINT, n BIGINT"
+SESSION_STATE_SCHEMA = (
+    "starts ARRAY<BIGINT>, ends ARRAY<BIGINT>, ns ARRAY<BIGINT>"
+)
 
 
 def sessionize_stream(
@@ -63,19 +65,23 @@ def sessionize_stream(
     the task brief names; ``sessionize_batch`` stays the declarative
     twin the oracle checks).
 
-    Per-user state = the one OPEN session (start_us, end_us, n).
-    Each micro-batch merges the open session with the batch's events as
-    INTERVALS sorted by start time — so a cross-batch out-of-order event
-    (still above the watermark) that predates the open session's start
-    extends it BACKWARD (session_start = min), and one that predates it
-    by more than the gap becomes its own earlier session, exactly as the
-    batch twin would order them. A gap > threshold closes a session (row
-    emitted); an event-time timeout set past the open session's
-    ``end + gap`` emits it once the watermark proves no in-order event
-    can extend it — so every session is emitted exactly once, closed
-    rows never mutate, and state stays O(1) per active user. (Residual
-    stream-vs-batch divergence requires an out-of-order event for a
-    session that was already EMITTED — impossible above the watermark.)"""
+    Per-user state = ALL not-yet-final sessions (parallel start/end/n
+    arrays — in steady state one open session, briefly more when
+    out-of-order arrivals open earlier sessions). Each micro-batch
+    merges the pending sessions with the batch's events as INTERVALS
+    sorted by start, exactly as the batch twin orders them: an
+    above-watermark event that predates a pending session's start
+    extends it backward, one more than a gap earlier becomes its own
+    session, and one that bridges two pending sessions merges them.
+
+    A session is EMITTED only once ``end + gap < watermark`` — the
+    watermark proves no admissible future event can touch it (an
+    event-time timeout re-drains when the watermark passes the earliest
+    pending deadline). That guard is what makes emission exactly-once
+    and batch-consistent: a previously-emitted session can never need
+    extension, because any future event is ≥ the watermark that sealed
+    it. State stays O(pending sessions) per active user, bounded by the
+    watermark delay / gap."""
     import pandas as pd  # noqa: F401 (worker-side)
 
     gap_us = gap_minutes * 60 * 1_000_000
@@ -83,38 +89,51 @@ def sessionize_stream(
     def fn(key, pdfs, state):
         import pandas as pd
 
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        def drain(pending):
+            """Split pending sessions into (final -> out, still-pending)
+            by the CURRENT watermark; final = end + gap below it."""
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            keep = []
+            for s, e, n in pending:
+                if e + gap_us < wm_us:
+                    out.append((key[0], s, e, n))
+                else:
+                    keep.append((s, e, n))
+            return keep
+
+        def park(pending):
+            if pending:
+                state.update((
+                    [p[0] for p in pending],
+                    [p[1] for p in pending],
+                    [p[2] for p in pending],
+                ))
+                # wake when the watermark passes the EARLIEST deadline
+                # (sessions are disjoint, so starts order == ends order)
+                state.setTimeoutTimestamp((pending[0][1] + gap_us) // 1000 + 1)
+            elif state.exists:
+                state.remove()
+
         out = []
         if state.hasTimedOut:
-            if state.exists:
-                s, e, n = state.get
-                out.append((key[0], s, e, n))
-                state.remove()
+            pending = list(zip(*state.get)) if state.exists else []
+            park(drain(pending))
         else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
             # pandas datetime64[ns] -> int64 ns; convert to us
             ts_us = [t // 1000 for t in rows["ts"].astype("int64").tolist()]
-            # the open session participates as one (start, end, n)
-            # interval among the batch's single-event intervals; sorting
-            # by start reproduces the batch twin's event-time order
             items = [(t, t, 1) for t in ts_us]
             if state.exists:
-                items.append(tuple(state.get))
+                items.extend(zip(*state.get))
             items.sort()
-            cur = None
+            merged = []
             for s, e, n in items:
-                if cur is None:
-                    cur = [s, e, n]
-                elif s - cur[1] > gap_us:
-                    out.append((key[0], cur[0], cur[1], cur[2]))
-                    cur = [s, e, n]
+                if merged and s - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += n
                 else:
-                    cur[1] = max(cur[1], e)
-                    cur[2] += n
-            if cur is not None:
-                state.update(tuple(cur))
-                # emit once the watermark passes end + gap: nothing
-                # in-order can extend the session after that
-                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000 + 1)
+                    merged.append([s, e, n])
+            park(drain([tuple(m) for m in merged]))
         if out:
             yield pd.DataFrame(
                 {

@@ -73,12 +73,15 @@ def test_sessionize_gap_semantics(spark):
 
 
 def test_sessionize_stream_out_of_order_across_batches(spark, tmp_root):
-    """A later micro-batch delivers events that PREDATE the open session
-    (still above the watermark): one within the gap must extend the
-    session backward (session_start = min), one more than a gap earlier
-    must become its own earlier session — matching the batch twin.
-    Regression test for the extend-branch that never moved session_start
-    (r3 ADVICE)."""
+    """Later micro-batches deliver events that PREDATE pending sessions
+    (still above the watermark): one within the gap extends the open
+    session backward, one more than a gap earlier opens its own earlier
+    session — and that earlier session must stay PENDING (not emitted)
+    until the watermark seals it, so a yet-later above-watermark event
+    can still merge into it. Regression for two bugs: the extend-branch
+    that never moved session_start (r3 ADVICE), and the premature
+    emission of pre-open sessions without a watermark guard (r4
+    review)."""
     import tempfile
 
     from data_prep_opensearch_spark.streaming.events import sessionize_stream
@@ -96,9 +99,18 @@ def test_sessionize_stream_out_of_order_across_batches(spark, tmp_root):
     batch2 = [
         (3, "2024-01-01 09:55:00", 1, "click", 1.0),  # backward-extends
         (4, "2024-01-01 09:00:00", 1, "click", 1.0),  # own earlier session
-        (5, "2024-06-01 00:00:00", 1, "sentinel", 0.0),  # closes everything
     ]
-    sentinel_ts = "2024-06-01 00:00:00"
+    batch3 = [
+        # merges into the 09:00 session — only possible because it was
+        # NOT prematurely emitted in batch 2
+        (5, "2024-01-01 09:20:00", 1, "click", 1.0),
+        (6, "2024-06-01 00:00:00", 1, "sentinel", 0.0),
+    ]
+    batch4 = [
+        # advances the watermark past the real sessions' deadlines
+        (7, "2024-06-02 00:00:00", 1, "sentinel", 0.0),
+    ]
+    sentinel_starts = {"2024-06-01 00:00:00", "2024-06-02 00:00:00"}
 
     src = os.path.join(tmp_root, "stream_ooo_src")
     df_of(batch1).coalesce(1).write.mode("overwrite").parquet(src)
@@ -114,13 +126,15 @@ def test_sessionize_stream_out_of_order_across_batches(spark, tmp_root):
         .start()
     )
     try:
-        q.processAllAvailable()  # micro-batch 1: open session 10:00-10:10
-        df_of(batch2).coalesce(1).write.mode("append").parquet(src)
-        q.processAllAvailable()  # micro-batch 2: out-of-order arrivals
+        q.processAllAvailable()
+        for batch in (batch2, batch3, batch4):
+            df_of(batch).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
         got = {
             (r["user_id"], str(r["session_start"]), str(r["session_end"])):
             r["n_events"]
             for r in spark.sql("SELECT * FROM sess_ooo").collect()
+            if str(r["session_start"]) not in sentinel_starts
         }
     finally:
         q.stop()
@@ -128,13 +142,13 @@ def test_sessionize_stream_out_of_order_across_batches(spark, tmp_root):
         (r["user_id"], str(r["session_start"]), str(r["session_end"])):
         r["n_events"]
         for r in sessionize_batch(
-            df_of(batch1 + batch2), gap_minutes=30
+            df_of(batch1 + batch2 + batch3 + batch4), gap_minutes=30
         ).collect()
-        if str(r["session_start"]) != sentinel_ts  # still open in stream
+        if str(r["session_start"]) not in sentinel_starts
     }
     assert got == expected_batch
     assert got == {
-        (1, "2024-01-01 09:00:00", "2024-01-01 09:00:00"): 1,
+        (1, "2024-01-01 09:00:00", "2024-01-01 09:20:00"): 2,
         (1, "2024-01-01 09:55:00", "2024-01-01 10:10:00"): 3,
     }
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -143,38 +157,44 @@ def test_sessionize_stream_out_of_order_across_batches(spark, tmp_root):
 def test_sessionize_stream_stateful_equals_batch(spark, tmp_root):
     """applyInPandasWithState sessionizer vs the declarative batch twin.
 
-    A far-future sentinel event per user forces every REAL session shut
-    via the gap rule inside the stream (the sentinel's own still-open
-    session is excluded from the comparison on both sides)."""
+    Sessions are emitted only once the WATERMARK seals them (end + gap
+    below it), so a far-future sentinel per user advances the watermark
+    in batch 1 and a second, later sentinel batch triggers the drain;
+    the sentinels' own still-pending sessions are excluded from the
+    comparison on both sides."""
+    import tempfile
+
     from data_prep_opensearch_spark.streaming.events import sessionize_stream
 
     events = _events_df(spark)
-    sentinel_ts = "2024-06-01 00:00:00"
-    sentinels = (
-        events.select("user_id").distinct()
-        .withColumn("event_id", F.lit(-1))
-        .withColumn("ts", F.lit(sentinel_ts).cast("timestamp"))
-        .withColumn("event_type", F.lit("sentinel"))
-        .withColumn("value", F.lit(0.0))
-        .select(*events.columns)
-    )
-    all_events = events.unionByName(sentinels)
-    src = os.path.join(tmp_root, "stream_sess_src")
-    all_events.coalesce(1).write.mode("overwrite").parquet(src)
+    sentinel_ts = ["2024-06-01 00:00:00", "2024-06-02 00:00:00"]
 
-    batch = sessionize_batch(spark.read.parquet(src), gap_minutes=30)
+    def sentinels_at(ts):
+        return (
+            events.select("user_id").distinct()
+            .withColumn("event_id", F.lit(-1))
+            .withColumn("ts", F.lit(ts).cast("timestamp"))
+            .withColumn("event_type", F.lit("sentinel"))
+            .withColumn("value", F.lit(0.0))
+            .select(*events.columns)
+        )
+
+    batch1 = events.unionByName(sentinels_at(sentinel_ts[0]))
+    batch2 = sentinels_at(sentinel_ts[1])
+    src = os.path.join(tmp_root, "stream_sess_src")
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+
     expected = {
-        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
-        for r in batch.collect()
-        if str(r["session_start"]) != sentinel_ts  # open sentinel session
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])):
+        r["n_events"]
+        for r in sessionize_batch(
+            batch1.unionByName(batch2), gap_minutes=30
+        ).collect()
+        if str(r["session_start"]) not in sentinel_ts
     }
 
-    stream = spark.readStream.schema(
-        spark.read.parquet(src).schema
-    ).parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
     out = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
-    import tempfile
-
     ckpt = tempfile.mkdtemp(dir=tmp_root)
     q = (
         out.writeStream.format("memory")
@@ -185,9 +205,13 @@ def test_sessionize_stream_stateful_equals_batch(spark, tmp_root):
     )
     try:
         q.processAllAvailable()
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
         got = {
-            (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+            (r["user_id"], str(r["session_start"]), str(r["session_end"])):
+            r["n_events"]
             for r in spark.sql("SELECT * FROM sess_stream").collect()
+            if str(r["session_start"]) not in sentinel_ts
         }
     finally:
         q.stop()
