@@ -133,7 +133,48 @@ class BM25Engine:
         partitioned on shard, no exchange). At 10^12 docs (thousands of
         shards × ~MB of dl_bytes each) the round-2 collect+broadcast was
         GBs through the driver; this path is one shuffle at init and
-        zero at query time."""
+        zero at query time.
+
+        Staleness discipline (round-4 review item): every public query
+        entry point stats the index's commit artifacts first
+        (_index_token: manifest.json + meta.json + tombstones dir) and
+        on ANY change unpersists and reloads — so an engine held across
+        an add/delete/merge by the same or another process serves
+        post-mutation results from every tier (distributed, batch, and
+        the driver-local cache) without a manual flush. Cost per query:
+        three os.stat calls."""
+        self.spark = spark
+        self.index_dir = index_dir
+        self._cache_req = cache
+        self._prune_superseded = prune_superseded
+        self._load()
+
+    @staticmethod
+    def _stat_sig(path: str) -> tuple[int, int] | None:
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        return (st.st_mtime_ns, st.st_size)
+
+    def _index_token(self) -> tuple:
+        """Cheap change signature of the index's commit artifacts. Every
+        mutation path lands in at least one of these: add/merge/vacuum
+        publish manifest.json (and refresh meta.json); delete_documents
+        appends a file under tombstones/ (bumping the dir mtime)."""
+        d = self.index_dir
+        return (
+            self._stat_sig(os.path.join(d, "manifest.json")),
+            self._stat_sig(os.path.join(d, "meta.json")),
+            self._stat_sig(os.path.join(d, "tombstones")),
+        )
+
+    def _maybe_refresh(self) -> None:
+        if self._index_token() != self._token:
+            self.unpersist()
+            self._load()
+
+    def _load(self) -> None:
         from data_prep_opensearch_spark.operators.incremental import (
             masked_doc_ids_per_shard,
         )
@@ -142,7 +183,11 @@ class BM25Engine:
             read_segments,
         )
 
-        self.spark = spark
+        spark = self.spark
+        index_dir = self.index_dir
+        cache = self._cache_req
+        prune_superseded = self._prune_superseded
+        self._token = self._index_token()
         self.meta = load_meta(index_dir)
         seg = read_segments(spark, index_dir)
 
@@ -281,6 +326,7 @@ class BM25Engine:
         directly — the natural shape for a driver-local tier (the
         default Spark-DataFrame return pays a local-relation round-trip
         that roughly doubles warm latency; values are identical)."""
+        self._maybe_refresh()
         spark = self.spark
 
         def _out(pdf: pd.DataFrame):
@@ -432,6 +478,7 @@ class BM25Engine:
         return _out(res)
 
     def topk(self, query: str, k: int = 10, scorer: str = "auto") -> DataFrame:
+        self._maybe_refresh()
         spark = self.spark
         terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
         df_map = self.resolve_df(terms)
@@ -485,6 +532,7 @@ class BM25Engine:
         mapInPandas pass, and one window takes each query's top-k.
         Per-query results are IDENTICAL to ``topk`` (parity-tested).
         Queries with no indexed terms return no rows."""
+        self._maybe_refresh()
         spark = self.spark
         tok = TOKENIZERS[self.meta["tokenizer"]]
         terms_by_q = [sorted(set(tok(q))) for q in queries]

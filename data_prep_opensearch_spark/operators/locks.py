@@ -46,6 +46,33 @@ def _read_status(status_path: str) -> dict:
         return {}
 
 
+def _sweep_orphaned_claims(index_dir: str, stale_after_sec: int) -> None:
+    """Remove ``.lock.stale-<pid>-<hex>`` dirs left by claimants that
+    crashed between the rename-claim and their private rmtree. A claim
+    dir is garbage once its claimant pid is dead OR it has aged past the
+    staleness deadline (a live claimant deletes its dir within
+    milliseconds of the rename, so age >= stale_after_sec can only mean
+    an abandoned claim). Two sweepers racing on one orphan both rmtree
+    with ignore_errors — harmless, the dir is garbage either way."""
+    try:
+        names = os.listdir(index_dir)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        if not name.startswith(".lock.stale-"):
+            continue
+        path = os.path.join(index_dir, name)
+        parts = name.split("-")
+        pid = int(parts[1]) if len(parts) >= 3 and parts[1].isdigit() else 0
+        try:
+            age = now - os.stat(path).st_mtime
+        except OSError:
+            continue
+        if (pid and not _pid_alive(pid)) or age >= stale_after_sec:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 @contextlib.contextmanager
 def index_lock(
     index_dir: str, purpose: str = "write", stale_after_sec: int = 24 * 3600
@@ -67,6 +94,7 @@ def index_lock(
     it raises IndexLockHeld — the winner's fresh lock is never touched.
     """
     os.makedirs(index_dir, exist_ok=True)
+    _sweep_orphaned_claims(index_dir, stale_after_sec)
     lock_dir = os.path.join(index_dir, ".lock")
     status_path = os.path.join(lock_dir, "status.json")
     acquired = False

@@ -255,12 +255,27 @@ def retire_paths(index_dir: str, rels: list[str],
     gc_retired(index_dir, grace_sec)
 
 
+def _live_rels(m: dict) -> set[str]:
+    """Every rel the manifest currently references as LIVE data."""
+    out = {e["path"] for e in m.get("segments", [])}
+    out |= set(m.get("doclens", []))
+    out |= set(m.get("doc_stats", []))
+    return out
+
+
 def gc_retired(index_dir: str, grace_sec: float | None = None) -> list[str]:
     """Delete ledgered dirs older than the grace period (``None`` reads
     $DPOSS_GC_GRACE_SEC, default 0) and drop them from the ledger.
     Returns the rels removed. Every writer operation calls this via
     retire_paths, so an active index converges; an idle one keeps its
-    ledger until the next write (or an explicit call)."""
+    ledger until the next write (or an explicit call).
+
+    Safety cross-check: a ledger entry whose path the manifest ALSO
+    lists as live (segments/doclens/doc_stats) is never deleted — it is
+    dropped from the ledger with a warning instead. Dir naming is
+    monotonic today so this cannot happen, but a future name reuse
+    (crash-replay re-publishing a prior deterministic rel) must not let
+    an aged ledger row delete live data."""
     if grace_sec is None:
         grace_sec = float(os.environ.get(GC_GRACE_ENV, "0"))
     m = load_manifest(index_dir)
@@ -268,6 +283,22 @@ def gc_retired(index_dir: str, grace_sec: float | None = None) -> list[str]:
         return []
     now = time.time()
     due = {e["path"] for e in m["retired"] if now - e["ts"] >= grace_sec}
+    resurrected = due & _live_rels(m)
+    if resurrected:
+        import warnings
+
+        warnings.warn(
+            f"gc_retired: {sorted(resurrected)} are ledgered as retired "
+            f"but live in {index_dir}/{MANIFEST}; dropping from the "
+            "ledger WITHOUT deleting",
+            stacklevel=2,
+        )
+        due -= resurrected
+
+        def _unledger(mm):
+            mm["retired"] = [e for e in mm.get("retired", [])
+                             if e["path"] not in resurrected]
+        update_manifest(index_dir, _unledger)
     if not due:
         return []
     for rel in due:

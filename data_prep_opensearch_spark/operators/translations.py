@@ -9,6 +9,19 @@ is an array<string>; the canonical fingerprint casefold-sorts it with
 empties dropped, so a pure reorder of the same keywords does not churn
 the fingerprint.
 
+DELIBERATE DIVERGENCE from the reference (recorded per round-4 review):
+the reference fingerprints the raw keywords array (sha256 of
+json.dumps(sort_keys=True) preserves ELEMENT order and blank strings,
+translations.py:126-137), so a reorder-only or blank-padding update
+churns its fingerprint and re-propagates downstream. Here keywords are
+treated as the SET they semantically are — ``_canon_sort_strings``
+casefold-sorts and drops empties before hashing — so such no-op updates
+hit the skip gate instead of causing write amplification. Keyword order
+carries no meaning in the reference's consumers (they render the list);
+if a downstream ever becomes order-sensitive, hash the raw array. The
+behavior is pinned by the keywords-reorder churn case in the
+rel_translations_merge oracle (plans/queries.py) and COVERAGE.md.
+
 Semantics implemented here, matching the reference exactly:
   - merge (translations.py:118-121): per language, the entry with the
     HIGHER ``_source_version`` wins; the INCOMING entry wins ties

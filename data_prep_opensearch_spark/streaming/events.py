@@ -50,6 +50,17 @@ SESSION_OUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
     "n_events BIGINT"
 )
+# CHECKPOINT COMPATIBILITY (round-4 review): v2 widened the per-user
+# state from one scalar open session (start_us, end_us, n) to parallel
+# arrays of ALL pending sessions. applyInPandasWithState persists state
+# rows with the schema below, so a streaming query RESTARTED from a
+# pre-v2 checkpoint would misread its state rows (Spark's state-store
+# schema check rejects the mismatch where enabled; where not, three
+# scalars would deserialize as garbage arrays). There is no legacy-state
+# converter: a v1->v2 upgrade requires a NEW checkpoint directory (the
+# source is replayable parquet in every deployment shape this engine
+# supports, so a fresh checkpoint re-derives identical sessions).
+SESSION_STATE_VERSION = 2
 SESSION_STATE_SCHEMA = (
     "starts ARRAY<BIGINT>, ends ARRAY<BIGINT>, ns ARRAY<BIGINT>"
 )

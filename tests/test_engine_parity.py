@@ -194,3 +194,65 @@ def test_topk_local_cache_eviction_keeps_current_query(spark, built_index):
             for r in eng.topk("import def", 10).collect()]
     assert got == want
     assert set(eng._local_flat) == {"def", "import"}
+
+
+def test_engine_refresh_on_mutation_without_flush(spark, tmp_root):
+    """Round-4 review item: an engine held across index mutations must
+    serve POST-mutation results from every tier without a manual
+    unpersist. The engine keys its caches (cached seg/sidecar DataFrames,
+    df dictionary, local-tier flat arrays) on a stat token of the commit
+    artifacts (manifest.json / meta.json / tombstones dir) and reloads on
+    change — checked here across a delete AND a subsequent delta add,
+    with cache=True so the cached distributed path is exercised too."""
+    import os
+
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.incremental import (
+        add_documents,
+        delete_documents,
+    )
+    from data_prep_opensearch_spark.operators.index_build import build_index
+    from data_prep_opensearch_spark.sources.corpus import corpus_df
+    from pyspark.sql import functions as F
+
+    idx = os.path.join(tmp_root, "refresh_idx")
+    full = corpus_df(spark, 260)
+    base = full.filter(F.xxhash64("repo", "path", "commit") % 5 != 0)
+    delta = full.filter(F.xxhash64("repo", "path", "commit") % 5 == 0)
+    build_index(spark, base, idx, n_shards=4, n_groups=1)
+
+    eng = BM25Engine(spark, idx, cache=True)
+    try:
+        warm = [int(r.doc_id)
+                for r in eng.topk_local("import def", 10, as_pandas=True).itertuples()]
+        assert warm, "warm top-k must be non-empty pre-delete"
+
+        victims = spark.createDataFrame([(d,) for d in warm], ["doc_id"])
+        delete_documents(spark, idx, victims)
+
+        # NO manual flush: the stale warm engine must mask the deletes
+        # on every tier, matching a fresh engine exactly
+        fresh = BM25Engine(spark, idx, cache=False)
+        for q in ("import def", "sym1 fn3 return"):
+            want = [(r["doc_id"], round(r["score"], 12))
+                    for r in fresh.topk(q, 10).collect()]
+            got_local = [(int(r.doc_id), round(float(r.score), 12))
+                         for r in eng.topk_local(q, 10, as_pandas=True).itertuples()]
+            got_dist = [(r["doc_id"], round(r["score"], 12))
+                        for r in eng.topk(q, 10).collect()]
+            assert got_local == want, q
+            assert got_dist == want, q
+            assert not ({d for d, _ in got_local} & set(warm))
+
+        # a delta add through the manifest path is also picked up
+        out = add_documents(spark, idx, delta)
+        assert out["docs_added"] > 0
+        fresh2 = BM25Engine(spark, idx, cache=False)
+        for q in ("import return",):
+            want = [(r["doc_id"], round(r["score"], 12))
+                    for r in fresh2.topk(q, 10).collect()]
+            got = [(int(r.doc_id), round(float(r.score), 12))
+                   for r in eng.topk_local(q, 10, as_pandas=True).itertuples()]
+            assert got == want, q
+    finally:
+        eng.unpersist()
