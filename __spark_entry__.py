@@ -28,4 +28,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+    # spec.sql may be a zero-arg callable for oracles whose SQL embeds
+    # data-dependent literals (emb_ann_ivf re-derives its codebook from
+    # the oracle-scale parquet); resolve those here
+    return {
+        name: (spec.sql() if callable(spec.sql) else spec.sql)
+        for name, spec in REGISTRY.items()
+        if spec.sql is not None
+    }

@@ -312,6 +312,124 @@ def ivf_write_clustered(
         f.write(buf.getvalue())
 
 
+def ivf_refresh(
+    spark,
+    path: str,
+    n_clusters: int | None = None,
+    sample_rows: int = 2000,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> dict:
+    """Retrain the coarse quantizer and INCREMENTALLY re-cluster: only
+    the ``_cluster=N/`` partitions whose membership changed are
+    rewritten (closes the full-table-rewrite gap the round-4 review
+    named — the fp-gated-recompute discipline applied to cluster
+    assignment).
+
+    Plan: one scan assigns every vector to the NEW codebook; rows whose
+    assignment changed identify the AFFECTED partitions (every cluster
+    that loses or gains at least one vector — a loser must be rewritten
+    without its departed rows, and a gainer is rewritten rather than
+    appended so each partition stays a single-write unit). A second
+    scan, partition-pruned to the affected clusters' current rows plus
+    the movers, rewrites exactly those partitions via dynamic partition
+    overwrite; untouched ``_cluster=N/`` directories are never opened.
+    An affected partition left EMPTY (every row departed) is deleted
+    explicitly — dynamic overwrite only replaces partitions present in
+    the written data. The new codebook is published LAST (single-file
+    atomic replace, same commit discipline as manifest.json): a probe
+    that races the refresh sees either the old codebook with old
+    partitions intact, or the new codebook with every affected
+    partition already rewritten.
+
+    Centroid drift is usually local, so the moved fraction — and the
+    rewrite — is typically a small multiple of the true churn instead
+    of 100% of the table. Returns receipts:
+    ``{n_moved, rewritten_partitions, deleted_partitions,
+    total_partitions, n_clusters}``."""
+    import os
+    import shutil
+
+    old_cents = ivf_read_centroids(path)
+    if n_clusters is None:
+        n_clusters = int(old_cents.shape[0])
+    df = spark.read.parquet(path)
+    new_cents = ivf_train(df, n_clusters, sample_rows, vec_col, key)
+
+    assigned = df.withColumn("_new", ivf_assign(F.col(vec_col), new_cents))
+    # null-safe: a null embedding assigns null under both codebooks and
+    # must read as UNMOVED, not fall out of the comparison
+    moved = assigned.filter(~F.col("_new").eqNullSafe(F.col("_cluster")))
+    moved_stats = moved.select(
+        F.count("*").alias("n"),
+        F.collect_set("_cluster").alias("lost"),
+        F.collect_set("_new").alias("gained"),
+    ).collect()[0]
+    n_moved = int(moved_stats["n"])
+    affected = sorted(
+        {int(c) for c in (moved_stats["lost"] or []) if c is not None}
+        | {int(c) for c in (moved_stats["gained"] or []) if c is not None}
+    )
+    total_parts = sum(
+        1 for d in os.listdir(path) if d.startswith("_cluster=")
+    )
+    rewritten: list[int] = []
+    deleted: list[int] = []
+    if affected:
+        # rows that will live in an affected partition under the new
+        # codebook: the scan is partition-pruned to affected ∪ (movers'
+        # source partitions) = affected, so unaffected dirs stay closed
+        # `_new ∈ affected` implies `_cluster ∈ affected` (a mover's
+        # source is a loser; a non-mover's source IS its target), so the
+        # extra conjunct on the PARTITION column changes nothing
+        # logically but lets the scan prune to the affected directories
+        out = (
+            assigned.filter(F.col("_cluster").isin(affected))
+            .filter(F.col("_new").isin(affected))
+            .drop("_cluster")
+            .withColumnRenamed("_new", "_cluster")
+        )
+        # materialize BEFORE overwriting: the write targets the same
+        # path the plan reads (Spark rejects a self-overwriting file
+        # scan, and lazily re-reading mid-overwrite would be a data
+        # race). The churn set is bounded by the affected partitions;
+        # at warehouse scale the same two-phase shape applies — stage
+        # the affected partitions to a temp prefix, then commit
+        out = out.localCheckpoint(eager=True)
+        nonempty = {
+            int(r["_cluster"])
+            for r in out.select("_cluster").distinct().collect()
+        }
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_cluster")
+            .parquet(path)
+        )
+        rewritten = sorted(nonempty)
+        for c in sorted(set(affected) - nonempty):
+            d = os.path.join(path, f"_cluster={c}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                deleted.append(c)
+    buf_path = os.path.join(path, ".ivf_centroids.npy")
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(new_cents, dtype=np.float64))
+    tmp = buf_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, buf_path)
+    return {
+        "n_moved": n_moved,
+        "rewritten_partitions": rewritten,
+        "deleted_partitions": deleted,
+        "total_partitions": total_parts,
+        "n_clusters": n_clusters,
+    }
+
+
 def ivf_read_centroids(path: str) -> np.ndarray:
     import os
 

@@ -29,7 +29,11 @@ BM25_K = 10
 @dataclass
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None
+    # str, or a zero-arg callable resolved at oracle_sql() time — for
+    # oracles whose SQL embeds DATA-dependent literals (e.g. the IVF
+    # codebook, retrained from the oracle-scale parquet on demand the
+    # way emb_ann_lsh embeds its data-independent hyperplanes inline)
+    sql: str | Callable[[], str] | None
     covers: list[str] = field(default_factory=list)
 
 
@@ -917,9 +921,97 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, qvec, k=10)
 
 
+# the driver compares oracles at this scale; our local check_oracle.py
+# overrides it to whatever sf_dir it is invoked with
+ORACLE_SF_ENV = "DPOSS_ORACLE_SF_DIR"
+_ORACLE_SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB oracle for emb_ann_ivf (round-4 task #5: flip the last
+    `no_oracle` row). k-means training is iterative and not
+    SQL-expressible, but it IS a deterministic pure function of the
+    data (`ivf_train`: sample = first 2000 rows BY KEY ORDER; then
+    `_kmeans_lite`, plain numpy) — so this generator re-derives the
+    IDENTICAL codebook from the oracle-scale parquet with numpy and
+    emits the centroids as SQL literals, exactly the trick the LSH
+    oracle uses for its (data-independent) hyperplanes. DuckDB then
+    RECOMPUTES the per-vector argmin assignment, the probe filter, and
+    the final cosine ranking — everything downstream of training is
+    independently re-executed, only the trained constants are shared.
+
+    Argmin ties break to the LOWEST centroid index on both engines
+    (numpy argmin / array_position-of-min in Spark; ORDER BY dist, cid
+    + rn=1 here); a cross-engine flip would need two centroid distances
+    within float-summation error, measure-zero for continuous data
+    (same argument as the LSH sign emission, _lsh_bucket_sql)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_prep_opensearch_spark.operators.similarity import (
+        _kmeans_lite,
+        _nearest_clusters,
+    )
+
+    sf = os.environ.get(ORACLE_SF_ENV, _ORACLE_SF_DEFAULT)
+    t = pq.read_table(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(vid, kind="stable")
+    sample = emb[order[: min(2000, len(order))]]
+    cents = _kmeans_lite(sample, 8)
+    q = emb[int(np.where(vid == 0)[0][0])]
+    probes = _nearest_clusters(cents, q, n_probe=2)
+
+    dim = emb.shape[1]
+    rows = ", ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cents[c])}])"
+        for c in range(cents.shape[0])
+    )
+    qlits = f"[{', '.join(repr(float(x)) for x in q)}]"
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> (CAST(e.embedding[j] AS DOUBLE) - c.cent[j]) "
+        "* (CAST(e.embedding[j] AS DOUBLE) - c.cent[j])))"
+    )
+    qdot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({qlits})[i]))"
+    )
+    norm_e = (
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    norm_q = (
+        f"sqrt(list_sum(list_transform({qlits}, x -> x * x)))"
+    )
+    return f"""
+    WITH cents(cid, cent) AS (VALUES {rows}),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cid, {dist} AS dist
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    a AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cid ASC) AS rn
+      FROM d
+    )
+    SELECT vec_id, round({qdot} / ({norm_e} * {norm_q}), 6) AS cos_sim
+    FROM a
+    WHERE rn = 1 AND cid IN ({", ".join(str(p) for p in probes)})
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
 @register(
     "emb_ann_ivf",
-    None,  # approximate by construction; rows-only check
+    _ivf_oracle_sql,  # lazy: embeds the codebook retrained at oracle scale
     covers=["IVF ANN (coarse quantizer + cluster probes)"],
 )
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

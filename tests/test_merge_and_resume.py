@@ -153,3 +153,54 @@ def test_reader_survives_merge_gc_grace(spark, tmp_root, monkeypatch):
     for rel in set(old_seg_rels) - live:
         assert not os.path.exists(os.path.join(idx, rel)), rel
     assert mf.load_manifest(idx).get("retired", []) == []
+
+
+def test_gc_ledger_accumulates_across_merges(spark, tmp_root, monkeypatch):
+    """Under a nonzero grace, SUCCESSIVE merges each append their consumed
+    dirs to the retired ledger (nothing is silently dropped or deleted
+    early), and one drain past the grace clears the whole backlog. Also
+    pins the live-set cross-check: a ledger entry that (by future name
+    reuse) points at a LIVE rel is never deleted — it is unledgered with
+    a warning."""
+    import warnings
+
+    from data_prep_opensearch_spark.operators import manifest as mf
+    from data_prep_opensearch_spark.operators.incremental import add_documents
+
+    idx = os.path.join(tmp_root, "idx_gc_ledger")
+    full = corpus_df(spark, N)
+    base = full.filter(F.xxhash64("repo", "path", "commit") % 3 == 0)
+    d1 = full.filter(F.xxhash64("repo", "path", "commit") % 3 == 1)
+    d2 = full.filter(F.xxhash64("repo", "path", "commit") % 3 == 2)
+    build_index(spark, base, idx, n_shards=4, n_groups=1)
+    monkeypatch.setenv(mf.GC_GRACE_ENV, "3600")
+
+    add_documents(spark, idx, d1)
+    merge_segments(spark, idx, fan_in=8)
+    led1 = {e["path"] for e in mf.load_manifest(idx).get("retired", [])}
+    assert led1, "first merge must ledger its consumed dirs"
+
+    add_documents(spark, idx, d2)
+    merge_segments(spark, idx, fan_in=8)
+    led2 = {e["path"] for e in mf.load_manifest(idx).get("retired", [])}
+    assert led1 <= led2, "earlier ledger entries must survive later merges"
+    assert len(led2) > len(led1), "second merge must append to the ledger"
+    for rel in led2:  # grace not yet past: every ledgered dir still exists
+        assert os.path.exists(os.path.join(idx, rel)), rel
+
+    # live-set cross-check: ledger a rel the manifest still lists as live
+    live_rel = mf.load_manifest(idx)["segments"][0]["path"]
+
+    def _poison(m):
+        m.setdefault("retired", []).append({"path": live_rel, "ts": 0.0})
+    mf.update_manifest(idx, _poison)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        drained = mf.gc_retired(idx, grace_sec=0)
+    assert any("WITHOUT deleting" in str(x.message) for x in w)
+    assert live_rel not in drained
+    assert os.path.exists(os.path.join(idx, live_rel))
+    assert set(drained) == led2
+    for rel in led2:
+        assert not os.path.exists(os.path.join(idx, rel)), rel
+    assert mf.load_manifest(idx).get("retired", []) == []

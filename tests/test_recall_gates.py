@@ -238,3 +238,111 @@ def test_embedding_near_dup_pair_recall(spark, emb):
     assert exact, "planted clones must produce exact pairs"
     assert not (approx - exact), "LSH path must not invent pairs (exact filter)"
     assert len(approx & exact) / len(exact) >= 0.95, (len(approx), len(exact))
+
+
+def _blob_table(spark, n_clusters=8, per_cluster=120, dim=64, spread=0.05):
+    """Deterministic well-separated blobs — the regime IVF layouts exist
+    for (embedding spaces with real cluster structure; the raw testdata
+    embeddings are isotropic, where every k-means cell borders every
+    other and ANY centroid change lawfully touches all partitions)."""
+    import numpy as np
+
+    rows = []
+    for c in range(n_clusters):
+        center = np.zeros(dim)
+        center[c] = 4.0
+        center[(c + 1) % dim] = 1.0
+        for i in range(per_cluster):
+            noise = np.array(
+                [((c * 7919 + i * 104729 + j * 997) % 2000) / 1000.0 - 1.0
+                 for j in range(dim)]
+            )
+            noise /= max(float(np.linalg.norm(noise)), 1e-9)
+            v = center + spread * noise
+            rows.append((c * per_cluster + i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_ivf_refresh_rewrites_only_moved_partitions(spark, tmp_root):
+    """Codebook refresh (round-4 task): retrain centroids and rewrite
+    ONLY the partitions whose membership changed. Gates: (a) fewer
+    partitions rewritten than exist, (b) the refreshed layout is
+    IDENTICAL (per-row cluster + probe results) to a from-scratch
+    clustered write with the same new codebook, (c) exact top-k over
+    the probed cells still matches brute force."""
+    import numpy as np
+
+    from data_prep_opensearch_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_probe_topk,
+        ivf_read_centroids,
+        ivf_refresh,
+        ivf_train,
+        ivf_write_clustered,
+    )
+
+    blobs = _blob_table(spark).localCheckpoint(eager=True)
+
+    # initial layout under a codebook with TWO cells label-swapped
+    # relative to the retrained one — the realistic partial-churn mode
+    # of k-means retraining (a couple of cells swap or shift identity
+    # while the rest reproduce). Refresh restores the true codebook, so
+    # exactly the two swapped blobs move and six partitions stay closed.
+    fresh0 = ivf_train(blobs, n_clusters=8, sample_rows=2000)
+    a_cell, b_cell = 0, 1
+    biased = fresh0.copy()
+    biased[[a_cell, b_cell]] = fresh0[[b_cell, a_cell]]
+    path = os.path.join(tmp_root, "ivf_refresh_layout")
+    ivf_write_clustered(blobs, path, biased)
+
+    stats = ivf_refresh(spark, path, n_clusters=8, sample_rows=2000)
+    assert stats["n_moved"] > 0, "label-swapped retrain must move rows"
+    n_rewritten = len(stats["rewritten_partitions"]) + len(
+        stats["deleted_partitions"]
+    )
+    assert n_rewritten < stats["total_partitions"], stats
+    assert set(stats["rewritten_partitions"]) == {a_cell, b_cell}, stats
+
+    # refreshed layout must equal a from-scratch write of the new codebook
+    assert np.allclose(ivf_read_centroids(path), fresh0)
+    path2 = os.path.join(tmp_root, "ivf_refresh_fromscratch")
+    ivf_write_clustered(blobs, path2, fresh0)
+    q = [float(x) for x in
+         blobs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in ivf_probe_topk(spark, path, q, k=10, n_probe=2).collect()]
+    want = [(r["vec_id"], r["cos_sim"])
+            for r in ivf_probe_topk(spark, path2, q, k=10, n_probe=2).collect()]
+    assert got == want
+
+    # full-table parity: every (vec_id, cluster) matches the from-scratch
+    a = spark.read.parquet(path).select("vec_id", "_cluster")
+    b = spark.read.parquet(path2).select("vec_id", "_cluster")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+    # recall gate on the refreshed layout (clustered data: probe is exact)
+    exact = {r["vec_id"] for r in brute_force_topk(blobs, q, k=10).collect()}
+    approx = {vid for vid, _ in got}
+    assert len(exact & approx) / 10 >= 0.9, (sorted(exact), sorted(approx))
+
+
+def test_ivf_refresh_noop_when_codebook_stable(spark, emb, tmp_root):
+    """Retraining with the SAME deterministic sample reproduces the same
+    codebook: zero moves, zero partitions rewritten — the fp-gated-
+    recompute discipline applied to cluster assignment."""
+    from data_prep_opensearch_spark.operators.similarity import (
+        ivf_refresh,
+        ivf_train,
+        ivf_write_clustered,
+    )
+
+    both = _with_planted(spark, emb).localCheckpoint(eager=True)
+    cents = ivf_train(both, n_clusters=8, sample_rows=2000)
+    path = os.path.join(tmp_root, "ivf_refresh_noop")
+    ivf_write_clustered(both, path, cents)
+    stats = ivf_refresh(spark, path, n_clusters=8, sample_rows=2000)
+    assert stats["n_moved"] == 0
+    assert stats["rewritten_partitions"] == []
+    assert stats["deleted_partitions"] == []

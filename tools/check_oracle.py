@@ -53,6 +53,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracle generators (emb_ann_ivf's codebook) must
+    # train on the SAME scale this run compares at; the driver uses the
+    # default (sf0.01)
+    os.environ["DPOSS_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from data_prep_opensearch_spark.session import get_spark
