@@ -3,45 +3,58 @@ summary JSON line LAST (the driver-parseable record — r3's single grown
 line outran the driver's tail window and recorded `parsed: null`); the
 full detail also lands in BENCH_DETAIL.json.
 
-Sections:
-  1. index_build — the same index build (synthetic code corpus, staged to
-     parquet once, untimed) at local[N] and local[4N], each in a FRESH
-     subprocess/JVM: docs/sec at both + scaling efficiency
+Sections (each timed workload runs in its OWN subprocess/JVM — round-4
+post-mortem: a 500k-doc engine session leaves JVM residue that taxed the
+catalog's checkpoint-heavy queries 2-4x even after unpersist):
+
+  1. index_build — the same index build (synthetic code corpus, staged
+     to parquet once, untimed) at local[N] and local[4N], each in a
+     FRESH subprocess/JVM: docs/sec at both + scaling efficiency
      throughput(4N) / (4 * throughput(N)) — the sandbox stand-in for the
      north rule's N-vs-4N-executor criterion (BASELINE.md §2).
 
-     Measurement protocol (round-2, after the 0.477-on-record artifact):
+     Measurement protocol (round-5, after two rounds where the driver
+     record was weather-poisoned — r4: every local[8] trial ran ~1.9x
+     slow under co-tenant steal that the single-cpu meter saw as only
+     10-25%, because the thief squats PARTICULAR vCPUs and a 17-cpu
+     footprint cannot dodge them by blind rotation):
        a. VIRTUAL EXECUTORS — each run is pinned with ``taskset`` to
-          2 CPUs per task slot (one JVM task thread + one python worker),
-          so local[N] is genuinely N-slot-resource-constrained. Unpinned,
-          the local[2] JVM borrows the machine's idle cores for GC/
-          shuffle/codegen, inflating low-parallelism throughput and
-          deflating the measured ratio — that is a measurement artifact,
-          not a property of the engine.
-       b. INTERLEAVED PAIRS — BENCH_TRIALS (default 5) low/high pairs,
-          alternating which level runs first, so slow drift in external
-          steal cancels in the per-pair ratio.
+          2 CPUs per task slot (one JVM task thread + one python
+          worker), so local[N] is genuinely N-slot-resource-constrained.
+       b. PER-CPU PROBING — immediately before EVERY build, a ~7s
+          sweep burns 0.2s on each cpu and ranks them; the build pins
+          to the CLEANEST cpus and the steal meter to the next-cleanest
+          — the run dodges squatted vCPUs instead of rotating into them.
        c. STEAL METER — a single-thread numpy loop runs CONCURRENTLY
-          with every build, pinned to a CPU OUTSIDE the build's set, and
-          reports its iteration rate over the exact build window.
-          External hypervisor steal slows the meter and the build by the
-          same factor (measured adjacent identical builds vary ±75% on
-          this VM); each wall is normalized by meter_rate / best_rate.
-       d. CPU-SET ROTATION — each trial pins to a different cpu range;
-          contention on this VM is sticky to particular vCPUs.
-       e. Headline ``scaling_efficiency`` = ratio of MIN normalized
-          walls (contamination is additive, so the fastest rotated trial
-          is the cleanest); per-pair efficiencies are also reported —
-          their median runs HIGH because the longer low-parallelism run
-          absorbs more steal than its paired high run.
+          with every build on a probed-clean cpu outside the build's
+          set; its rate over the exact build window detects steal that
+          ARRIVES during the run. Each wall is normalized by
+          meter_rate / best_rate.
+       d. WEATHER GATE (r4 'what's wrong' #1) — a PAIR is CLEAN iff
+          both trials' meter rates are within GATE_TRIAL of the session
+          best AND within GATE_SPREAD of each other. Dirty pairs are
+          retried (budget $BENCH_SCALING_RETRIES, default 4); the
+          HEADLINE ``scaling_efficiency`` uses clean trials only, with
+          the ungated number reported alongside as
+          ``scaling_efficiency_raw`` and per-trial receipts in
+          BENCH_DETAIL.json.
+       e. Estimator: ratio of MIN normalized walls over clean trials —
+          external contamination is strictly additive, so the fastest
+          clean trial is the best estimate of the true wall.
   2. bm25 — warm segment-index top-k latency over the fixed reference
-     query set (p50/p95 ms), wand and auto scorers (one untimed warmup
-     pass resolves the term dictionary, as a warm engine would be).
-  3. queries — headline catalog queries at $SPARK_GRAFT_SF_DIR.
+     query set (p50/p95 ms): wand/auto distributed scorers, the
+     driver-local tier, and the batched one-job path (min of 3 with a
+     meter receipt — r4 task #7), in a fresh subprocess.
+  3. queries — ALL catalog queries at $SPARK_GRAFT_SF_DIR in a fresh
+     subprocess, with per-query storage-bytes and JVM-GC-time receipts
+     and a checkpoint-block release between queries (r4 task #2), plus
+     a fresh-single-session re-measurement of the worst checkpoint-heavy
+     query (ft_lsh_pairs) recorded alongside its in-catalog wall.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), BENCH_CORPUS_DOCS (default 500000),
-     BENCH_LOW_CORES (default 2), BENCH_TRIALS (default 5).
+     BENCH_LOW_CORES (default 2), BENCH_TRIALS (default 5),
+     BENCH_SCALING_RETRIES (default 4).
 """
 
 from __future__ import annotations
@@ -62,8 +75,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "500000"))
 LOW = int(os.environ.get("BENCH_LOW_CORES", "2"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "6"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
+RETRIES = int(os.environ.get("BENCH_SCALING_RETRIES", "4"))
 CPUS_PER_SLOT = 2  # 1 JVM task thread + 1 python worker per task slot
+GATE_TRIAL = 0.88   # trial clean iff meter_rate >= this x session best
+GATE_SPREAD = 0.12  # pair clean iff |r_lo - r_hi| / max <= this
 N_SHARDS = 128  # corpus-determined, NOT core-count-determined: docIDs and
                 # the index must be identical at every parallelism.
                 # 128 (not 32): the docID window shuffle hash-partitions
@@ -72,33 +88,17 @@ N_SHARDS = 128  # corpus-determined, NOT core-count-determined: docIDs and
                 # empty and hand one task 3 shards — a tokenize-stage
                 # straggler that capped measured 2->8-slot scaling at
                 # ~0.5. At 4x-partitions-per-shard granularity the
-                # collision skew averages out (max/avg ~1.7 vs 3.0) and
-                # the stage packs evenly at every slot count.
+                # collision skew averages out and the stage packs evenly
+                # at every slot count.
 
-HEADLINE = [
-    "ft_bm25_topk",
-    "ft_bm25_engine_topk",
-    "ft_bm25_code_topk",
-    "ft_term_stats",
-    "ft_minhash_signatures",
-    "ft_lsh_pairs",
-    "ft_simhash",
-    "ft_exact_dedup",
-    "ft_quality",
-    "ft_langid",
-    "ft_clean_content",
-    "ft_chunks",
-    "ft_url_classify",
-    "emb_knn",
-    "emb_near_dup",
-    "rel_pricing_summary",
-    "rel_top_revenue",
-    "rel_change_classification",
-    "rel_translations_merge",
-    "mm_binary_detect",
-    "str_windowed_counts",
-    "str_sessionize",
-]
+# ALL catalog entries run in the bench headline (r4 task #8: every
+# sub-5s catalog entry covered so regressions surface in BENCH, not just
+# CORRECTNESS). Resolved lazily so `bench.py --help`-style invocations
+# don't pay the package import.
+def _headline() -> list[str]:
+    from data_prep_opensearch_spark.plans.queries import REGISTRY
+
+    return list(REGISTRY)
 
 
 def _warm_workers(spark, cores: int) -> None:
@@ -117,45 +117,110 @@ def _warm_workers(spark, cores: int) -> None:
     spark.range(0, cores * 2, 1, cores * 2).mapInPandas(warm, "x long").count()
 
 
+# Dual-phase steal meter. The round-4/5 post-mortem showed clean-meter
+# low-level builds varying 151->377 s across sessions: the original
+# 1.6 MB (L2-resident) sqrt loop measures cpu-cycle steal but is BLIND
+# to DRAM-bandwidth co-tenancy, which hits a shuffle-heavy build hard.
+# Phase A keeps the cache-resident loop (cpu steal); phase B streams a
+# 64 MB copy (memory-bandwidth steal). A trial must be clean on BOTH.
 _METER_CODE = r"""
 import json, signal, sys, time
 import numpy as np
 stop = [False]
 signal.signal(signal.SIGTERM, lambda *a: stop.__setitem__(0, True))
-a = np.arange(200_000, dtype=np.float64)
+small = np.arange(200_000, dtype=np.float64)
+big_a = np.arange(8_000_000, dtype=np.float64)   # 64 MB source
+big_b = np.empty_like(big_a)
 for _ in range(20):                       # warm caches before t0
-    a = np.sqrt(a * 1.0000001 + 1.0)
-iters, t0 = 0, time.monotonic()
+    small = np.sqrt(small * 1.0000001 + 1.0)
+np.copyto(big_b, big_a)
+cpu_iters = mem_passes = 0
+cpu_wall = mem_wall = 0.0
+t0 = time.monotonic()
 while not stop[0]:
-    a = np.sqrt(a * 1.0000001 + 1.0)
-    iters += 1
-print(json.dumps({"iters": iters, "wall": time.monotonic() - t0}), flush=True)
+    t = time.monotonic()
+    while time.monotonic() - t < 0.2 and not stop[0]:
+        small = np.sqrt(small * 1.0000001 + 1.0)
+        cpu_iters += 1
+    cpu_wall += time.monotonic() - t
+    if stop[0]:
+        break
+    t = time.monotonic()
+    np.copyto(big_b, big_a)
+    big_b[0] += small[0]
+    mem_passes += 1
+    mem_wall += time.monotonic() - t
+print(json.dumps({"cpu_iters": cpu_iters, "cpu_wall": cpu_wall,
+                  "mem_passes": mem_passes, "mem_wall": mem_wall,
+                  "wall": time.monotonic() - t0}), flush=True)
+"""
+
+# per-cpu probe: burn ~0.2s pinned to EACH cpu, print {cpu: rate}. The
+# co-tenant on this VM squats particular vCPUs (r4: every local[8]
+# trial ~1.9x slow while low trials on other cpus ran clean), so the
+# scaling section CHOOSES its cpu set by measured cleanliness instead
+# of rotating blindly into the squat.
+_PROBE_CODE = r"""
+import json, os, time
+import numpy as np
+n = os.cpu_count() or 1
+rates = {}
+base = np.arange(120_000, dtype=np.float64)
+for cpu in range(n):
+    try:
+        os.sched_setaffinity(0, {cpu})
+    except OSError:
+        continue
+    a = base.copy()
+    for _ in range(8):
+        a = np.sqrt(a * 1.0000001 + 1.0)
+    iters, t0 = 0, time.monotonic()
+    while time.monotonic() - t0 < 0.18:
+        a = np.sqrt(a * 1.0000001 + 1.0)
+        iters += 1
+    rates[cpu] = iters / max(time.monotonic() - t0, 1e-9)
+print(json.dumps(rates))
 """
 
 
+def probe_cpu_rates() -> dict[int, float]:
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE_CODE],
+        capture_output=True, text=True, timeout=180,
+    )
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    return {int(k): float(v) for k, v in m.items()}
+
+
 def build_once_subprocess(
-    cores: int, n_docs: int, src_dir: str, pin: bool = True, cpu_offset: int = 0
-) -> tuple[float, float]:
-    """Run one timed build in a fresh process/JVM (session churn inside one
-    JVM contaminates timings), pinned to CPUS_PER_SLOT × cores CPUs so the
-    run is a faithful N-slot 'virtual executor' (module docstring a).
-    ``cpu_offset`` rotates the pinned set between trials: host-side
-    contention on this VM is sticky to particular vCPUs (adjacent
-    identical runs on one set varied 3x while a meter on another cpu
-    barely moved), so rotating decorrelates trials from a hot host core.
-    A steal meter runs concurrently on a cpu outside the build's set.
-    Returns (wall_sec, meter_rate)."""
+    cores: int, n_docs: int, src_dir: str
+) -> tuple[float, float, float | None, float | None]:
+    """Run one timed build in a fresh process/JVM (session churn inside
+    one JVM contaminates timings), pinned to CPUS_PER_SLOT x cores CPUs
+    so the run is a faithful N-slot 'virtual executor' (docstring a).
+    The cpu set is CHOSEN by an immediately-preceding per-cpu probe —
+    cleanest cpus to the build, next-cleanest to the concurrent steal
+    meter (docstring b/c). Returns
+    (wall_sec, cpu_meter_rate, mem_meter_rate, cpu_util) where cpu_util
+    is the build tree's cpu-seconds over the timed window divided by
+    wall x allocated-cpus — a receipt that attributes wall variance the
+    meters cannot see (e.g. a serial phase vs external contention)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--build-once",
            str(cores), str(n_docs), src_dir]
     meter_cmd = [sys.executable, "-c", _METER_CODE]
     have_taskset = bool(shutil.which("taskset"))
     n_machine = os.cpu_count() or 1
-    if pin and have_taskset:
-        n_cpus = min(CPUS_PER_SLOT * cores, n_machine)
-        cpus = [(cpu_offset + j) % n_machine for j in range(n_cpus)]
+    if have_taskset:
+        n_cpus = min(CPUS_PER_SLOT * cores, max(n_machine - 1, 1))
+        try:
+            ranked = sorted(probe_cpu_rates().items(), key=lambda kv: -kv[1])
+            order = [c for c, _ in ranked]
+        except Exception:
+            order = list(range(n_machine))
+        cpus = order[:n_cpus]
+        meter_cpu = order[n_cpus] if len(order) > n_cpus else order[-1]
         cmd = ["taskset", "-c", ",".join(map(str, cpus))] + cmd
-        meter_cmd = ["taskset", "-c",
-                     str((cpu_offset + n_cpus) % n_machine)] + meter_cmd
+        meter_cmd = ["taskset", "-c", str(meter_cpu)] + meter_cmd
     meter = subprocess.Popen(meter_cmd, stdout=subprocess.PIPE, text=True)
     try:
         out = subprocess.run(
@@ -165,15 +230,23 @@ def build_once_subprocess(
         meter.terminate()
     m_out, _ = meter.communicate(timeout=60)
     m = json.loads(m_out.strip().splitlines()[-1])
-    rate = m["iters"] / max(m["wall"], 1e-9)
+    cpu_rate = m["cpu_iters"] / max(m["cpu_wall"], 1e-9)
+    mem_rate = (m["mem_passes"] / m["mem_wall"]) if m.get("mem_wall") else None
+    wall = cpu_sec = None
     for line in out.stdout.splitlines():
         if line.startswith("WALL "):
-            return float(line.split()[1]), rate
-    raise RuntimeError(f"build subprocess failed: {out.stderr[-2000:]}")
+            wall = float(line.split()[1])
+        elif line.startswith("CPUSEC "):
+            cpu_sec = float(line.split()[1])
+    if wall is None:
+        raise RuntimeError(f"build subprocess failed: {out.stderr[-2000:]}")
+    n_alloc = min(CPUS_PER_SLOT * cores, max(n_machine - 1, 1))
+    util = (cpu_sec / (wall * n_alloc)) if cpu_sec is not None else None
+    return wall, cpu_rate, mem_rate, util
 
 
-# streaming meter for the query section: prints (wall-clock, iters)
-# samples so the parent can compute the steal rate inside ANY window
+# streaming meter for the query/bm25 sections: prints (wall-clock,
+# iters) samples so the parent can compute the steal rate in ANY window
 _METER_STREAM_CODE = r"""
 import json, signal, sys, time
 import numpy as np
@@ -195,12 +268,10 @@ while not stop[0]:
 
 
 class _StreamMeter:
-    """Steal meter for the query section (round-2 VERDICT asked for
-    contention context on per-query walls). The meter pins to the LAST
-    cpu; the bench process (and the query JVM it spawns) is affined to
-    the remaining cpus, so the meter measures EXTERNAL contention, not
-    our own Spark load. Cost: one of 32 cpus (~3%), documented in the
-    protocol string."""
+    """Steal meter for the query sections. Pins to the LAST cpu; the
+    bench process (and the query JVM it spawns) is affined to the
+    remaining cpus, so the meter measures EXTERNAL contention, not our
+    own Spark load. Cost: one of 32 cpus (~3%)."""
 
     def __init__(self) -> None:
         import threading
@@ -259,6 +330,42 @@ class _StreamMeter:
             pass
 
 
+def _tree_cpu_sec() -> float:
+    """user+sys cpu-seconds of this process and every LIVE descendant
+    (the pyspark JVM gateway and python workers are children that stay
+    alive until exit, so RUSAGE_CHILDREN alone misses them). Sampled at
+    t0/t1 around the timed build; the delta over wall x ncpus is the
+    utilization receipt."""
+    import resource
+
+    me = os.getpid()
+    hz = os.sysconf("SC_CLK_TCK")
+    entries = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()
+        # rest[1]=ppid, rest[11]=utime, rest[12]=stime (man proc(5))
+        entries.append((int(p), int(rest[1]), int(rest[11]) + int(rest[12])))
+    pids = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, ppid, _ in entries:
+            if ppid in pids and pid not in pids:
+                pids.add(pid)
+                grew = True
+    live = sum(t for pid, _, t in entries if pid in pids and pid != me) / hz
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    rc = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return live + ru.ru_utime + ru.ru_stime + rc.ru_utime + rc.ru_stime
+
+
 def _scratch_root() -> str:
     """RAM-backed scratch when available: the scaling measurement is of
     the ENGINE's compute, and this VM's /tmp disk shows multi-x latency
@@ -283,9 +390,12 @@ def _build_once_main(cores: int, n_docs: int, src_dir: str) -> None:
     d = tempfile.mkdtemp(prefix=f"bench_idx_{cores}_", dir=_scratch_root())
     try:
         src = spark.read.parquet(src_dir)
+        c0 = _tree_cpu_sec()
         t0 = time.monotonic()
         build_index(spark, src, d, n_shards=N_SHARDS, n_groups=1)
-        print(f"WALL {time.monotonic() - t0:.3f}")
+        wall = time.monotonic() - t0
+        print(f"WALL {wall:.3f}")
+        print(f"CPUSEC {_tree_cpu_sec() - c0:.1f}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
         spark.stop()
@@ -293,9 +403,8 @@ def _build_once_main(cores: int, n_docs: int, src_dir: str) -> None:
 
 
 def _cached_bytes(spark) -> int:
-    """Executor storage-memory occupancy (bytes of cached RDD blocks) —
-    recorded per bench section so a cache left resident by one section
-    can be attributed when it taxes the next (r3 'what's wrong' #3)."""
+    """Executor storage-memory occupancy (bytes of cached RDD/checkpoint
+    blocks) — recorded per query so residue is attributable."""
     try:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
         return int(sum(i.memSize() for i in infos))
@@ -303,103 +412,199 @@ def _cached_bytes(spark) -> int:
         return -1
 
 
-def main() -> None:
-    result: dict = {"metric": "engine_bench_detail", "unit": "sec", "sf": SF_DIR}
+def _gc_time_ms(spark) -> int:
+    """Cumulative JVM GC milliseconds (all collectors, driver JVM =
+    every executor thread in local mode)."""
+    try:
+        beans = (spark.sparkContext._jvm.java.lang.management
+                 .ManagementFactory.getGarbageCollectorMXBeans())
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception:
+        return -1
 
-    from data_prep_opensearch_spark.session import get_spark
-    from data_prep_opensearch_spark.sources.corpus import corpus_df
 
-    # stage the synthetic corpus to parquet ONCE (untimed): the engine's
-    # input contract is a table scan, not a generator. RAM-backed scratch
-    # (see _scratch_root) keeps the sandbox disk out of the measurement.
-    corpus_dir = os.path.join(_scratch_root(), f"bench_corpus_{CORPUS_DOCS}")
-    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
-        spark = get_spark(app_name="bench_prepare", cores=CPUS)
-        corpus_df(spark, CORPUS_DOCS, partitions=CPUS * 2).write.mode(
-            "overwrite"
-        ).parquet(corpus_dir)
-        spark.stop()
+def _release_checkpoints(spark) -> int:
+    """Release dead cached/checkpoint blocks between catalog queries
+    (r4 task #2: `localCheckpoint` blocks from dedup/similarity queries
+    are lineage-truncated and cannot be unpersisted WHILE live, but once
+    the query's DataFrame is dropped they are garbage — a python GC
+    releases the py4j handles, a JVM GC lets ContextCleaner reap the
+    blocks). Returns cached bytes remaining after the sweep."""
+    import gc
 
-    # --- 1. scaling: N vs 4N virtual executors, same input -------------
-    # Protocol (module docstring): pinned CPU sets, interleaved pairs,
-    # steal-calibration burns, median of per-pair efficiencies.
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(0.3)  # ContextCleaner drains asynchronously
+    return _cached_bytes(spark)
+
+
+# ---------------------------------------------------------------------------
+# Section 1: scaling (weather-gated)
+# ---------------------------------------------------------------------------
+
+def _run_scaling_section(corpus_dir: str) -> dict:
     high = LOW * 4
-    n_machine = os.cpu_count() or 32
-    lows, highs = [], []          # (wall_sec, meter_rate) per trial
-    for t in range(TRIALS):
-        order = [(LOW, lows), (high, highs)]
-        if t % 2 == 1:
+    pairs: list[dict] = []
+    attempts = 0
+
+    def run_pair(flip: bool) -> dict:
+        order = [("lo", LOW), ("hi", high)]
+        if flip:
             order.reverse()
-        for cores, sink in order:
-            off = (t * (CPUS_PER_SLOT * high + 1)) % n_machine
-            sink.append(build_once_subprocess(
-                cores, CORPUS_DOCS, corpus_dir, cpu_offset=off))
-    best_rate = max(r for _, r in lows + highs)
-    lows_n = [w * (r / best_rate) for w, r in lows]
-    highs_n = [w * (r / best_rate) for w, r in highs]
-    pair_eff = [wl / ((high / LOW) * wh) for wl, wh in zip(lows_n, highs_n)]
-    # HEADLINE estimator: min wall at each level. External contamination
-    # is strictly additive, so the fastest of 5 rotated trials is the
-    # cleanest estimate of the true wall; per-pair medians OVERESTIMATE
-    # (the longer low-parallelism run absorbs more steal than its paired
-    # high run, inflating the ratio — observed medians > 1.0).
-    t_low, t_high = min(lows_n), min(highs_n)
-    thr_low = CORPUS_DOCS / t_low
-    thr_high = CORPUS_DOCS / t_high
-    result["index_build"] = {
+        rec: dict = {}
+        for tag, cores in order:
+            wall, cpu_rate, mem_rate, util = build_once_subprocess(
+                cores, CORPUS_DOCS, corpus_dir)
+            rec[f"{tag}_wall"] = wall
+            rec[f"{tag}_rate"] = cpu_rate
+            rec[f"{tag}_mem"] = mem_rate
+            rec[f"{tag}_util"] = util
+        return rec
+
+    def _bests() -> tuple[float, float | None]:
+        best_cpu = max(r for p in pairs for r in (p["lo_rate"], p["hi_rate"]))
+        mems = [p[k] for p in pairs for k in ("lo_mem", "hi_mem")
+                if p.get(k) is not None]
+        return best_cpu, (max(mems) if mems else None)
+
+    def _is_clean(p: dict, best_cpu: float, best_mem: float | None) -> bool:
+        # clean on BOTH instruments: cpu-cycle steal AND memory-bandwidth
+        # steal (the r4/r5 post-mortem: clean-cpu-meter lo walls varied
+        # 1.5x because the L2-resident loop cannot see DRAM co-tenancy)
+        def ok(lo: float | None, hi: float | None, best: float | None) -> bool:
+            if lo is None or hi is None or best is None:
+                return True  # instrument unavailable -> cannot gate on it
+            spread = abs(lo - hi) / max(lo, hi)
+            return min(lo, hi) >= GATE_TRIAL * best and spread <= GATE_SPREAD
+        return (ok(p["lo_rate"], p["hi_rate"], best_cpu)
+                and ok(p.get("lo_mem"), p.get("hi_mem"), best_mem))
+
+    # run until TRIALS provisionally-clean pairs exist or the retry
+    # budget is spent; dirty pairs stay on the record (receipts) but a
+    # dirty pair earns an extra attempt instead of consuming a trial
+    while attempts < TRIALS + RETRIES:
+        rec = run_pair(flip=attempts % 2 == 1)
+        attempts += 1
+        pairs.append(rec)
+        best_cpu, best_mem = _bests()
+        if sum(1 for p in pairs if _is_clean(p, best_cpu, best_mem)) >= TRIALS:
+            break
+
+    # final gate against the FINAL session best (early pairs judged
+    # clean against a then-stolen best get re-marked here)
+    best_cpu, best_mem = _bests()
+    best = best_cpu
+    for p in pairs:
+        p["clean"] = _is_clean(p, best_cpu, best_mem)
+
+    def norm(w: float, r: float) -> float:
+        return w * (r / best)
+
+    def eff_from(ps: list[dict]) -> tuple[float, float, float] | None:
+        if not ps:
+            return None
+        t_lo = min(norm(p["lo_wall"], p["lo_rate"]) for p in ps)
+        t_hi = min(norm(p["hi_wall"], p["hi_rate"]) for p in ps)
+        return (CORPUS_DOCS / t_hi) / ((high / LOW) * (CORPUS_DOCS / t_lo)), t_lo, t_hi
+
+    clean = [p for p in pairs if p["clean"]]
+    raw = eff_from(pairs)
+    gated = eff_from(clean)
+    headline = gated if gated is not None else raw
+    eff, t_lo, t_hi = headline
+    pair_eff = [
+        norm(p["lo_wall"], p["lo_rate"])
+        / ((high / LOW) * norm(p["hi_wall"], p["hi_rate"]))
+        for p in pairs
+    ]
+    return {
         "docs": CORPUS_DOCS,
         "protocol": (
-            f"taskset {CPUS_PER_SLOT}cpu/slot virtual executors, rotated "
-            f"cpu sets; {TRIALS} interleaved pairs; concurrent steal-meter "
-            "normalization; efficiency from min (cleanest) walls"
+            f"taskset {CPUS_PER_SLOT}cpu/slot virtual executors on "
+            f"per-cpu-probe-chosen clean sets; up to {TRIALS}+{RETRIES} "
+            f"interleaved pairs; concurrent DUAL steal-meter (L2 cpu loop "
+            f"+ 64MB DRAM stream); weather gate on BOTH instruments "
+            f"(trial>= {GATE_TRIAL}xbest, pair spread<= {GATE_SPREAD}); "
+            "efficiency from min cpu-normalized CLEAN walls; per-trial "
+            "cpu-utilization receipts"
         ),
-        f"local{LOW}_sec": round(t_low, 2),
-        f"local{high}_sec": round(t_high, 2),
-        f"local{LOW}_trials_sec": [round(w, 1) for w, _ in lows],
-        f"local{high}_trials_sec": [round(w, 1) for w, _ in highs],
-        "meter_rates": [round(r, 1) for _, r in lows + highs],
-        f"local{LOW}_docs_per_sec": round(thr_low, 1),
-        f"local{high}_docs_per_sec": round(thr_high, 1),
+        f"local{LOW}_sec": round(t_lo, 2),
+        f"local{high}_sec": round(t_hi, 2),
+        f"local{LOW}_docs_per_sec": round(CORPUS_DOCS / t_lo, 1),
+        f"local{high}_docs_per_sec": round(CORPUS_DOCS / t_hi, 1),
+        "trials": [
+            {
+                "lo_wall": round(p["lo_wall"], 1),
+                "hi_wall": round(p["hi_wall"], 1),
+                "lo_rate": round(p["lo_rate"], 1),
+                "hi_rate": round(p["hi_rate"], 1),
+                "lo_mem": (round(p["lo_mem"], 2)
+                           if p.get("lo_mem") is not None else None),
+                "hi_mem": (round(p["hi_mem"], 2)
+                           if p.get("hi_mem") is not None else None),
+                "lo_util": (round(p["lo_util"], 3)
+                            if p.get("lo_util") is not None else None),
+                "hi_util": (round(p["hi_util"], 3)
+                            if p.get("hi_util") is not None else None),
+                "clean": p["clean"],
+            }
+            for p in pairs
+        ],
         "pair_efficiencies": [round(e, 3) for e in pair_eff],
         "pair_efficiency_median": round(statistics.median(pair_eff), 3),
-        "scaling_efficiency": round(thr_high / (thr_low * (high / LOW)), 3),
+        "pair_efficiency_median_clean": (
+            round(statistics.median(
+                [e for e, p in zip(pair_eff, pairs) if p["clean"]]), 3)
+            if clean else None
+        ),
+        "pairs_run": len(pairs),
+        "pairs_clean": len(clean),
+        "scaling_efficiency_raw": round(raw[0], 3),
+        "scaling_efficiency_gated": (
+            round(gated[0], 3) if gated is not None else None
+        ),
+        "scaling_efficiency": round(eff, 3),
+        "gate_note": (
+            "headline = gated (clean pairs only)" if gated is not None
+            else "NO clean pair within the retry budget; headline = raw"
+        ),
     }
 
-    # --- 2 + 3 on one warm session at full parallelism -----------------
+
+# ---------------------------------------------------------------------------
+# Section 2: bm25 latency tiers (subprocess entry: --bm25)
+# ---------------------------------------------------------------------------
+
+def _bm25_main(corpus_dir: str) -> None:
     from data_prep_opensearch_spark.operators.bm25 import BM25Engine
     from data_prep_opensearch_spark.operators.index_build import (
         build_index,
         sort_segments,
     )
     from data_prep_opensearch_spark.oracle import reference_query_set
-    from data_prep_opensearch_spark.plans.queries import REGISTRY
+    from data_prep_opensearch_spark.session import get_spark
 
     meter = _StreamMeter()  # affines us to cpus 0..n-2 BEFORE the JVM spawns
-    # RAM-backed spark.local.dir: the query section's shuffle spills
-    # otherwise land on the sandbox disk, whose co-tenant IO bursts are
-    # INVISIBLE to the cpu steal-meter (r3 observed 3-5x walls on
-    # shuffle-heavy queries with a clean meter — disk, not cpu)
-    qscratch = tempfile.mkdtemp(prefix="bench_qlocal_", dir=_scratch_root())
-    spark = get_spark(app_name="bench_queries", cores=CPUS,
-                      extra_conf={"spark.local.dir": qscratch})
+    scratch = tempfile.mkdtemp(prefix="bench_bm25_", dir=_scratch_root())
+    spark = get_spark(app_name="bench_bm25", cores=CPUS,
+                      extra_conf={"spark.local.dir": scratch})
     _warm_workers(spark, CPUS)
-
     idx_dir = tempfile.mkdtemp(prefix="bench_qidx_", dir=_scratch_root())
+    result: dict = {"corpus_docs": CORPUS_DOCS}
     engine = None
     try:
         build_index(spark, spark.read.parquet(corpus_dir), idx_dir,
                     n_shards=N_SHARDS, n_groups=1)
         sort_segments(spark, idx_dir)
         engine = BM25Engine(spark, idx_dir, cache=True)
-        # one untimed warmup pass: resolves each query's term dfs into the
-        # engine's dictionary cache (a warm engine's steady state; cold
-        # dictionary resolution is one extra tiny filtered-scan job)
+        # one untimed warmup pass resolves each query's term dfs into
+        # the dictionary cache (a warm engine's steady state)
         for q in reference_query_set():
             engine.topk(q["query"], q["k"], scorer="dense").collect()
-        result["bm25"] = {"corpus_docs": CORPUS_DOCS}
         for scorer in ("wand", "auto"):
-            # min of 2 timed reps per query (additive-contamination
-            # estimator, same as the scaling + catalog sections)
             lat_ms = []
             w0 = time.time()
             for q in reference_query_set():
@@ -410,16 +615,15 @@ def main() -> None:
                     reps.append((time.monotonic() - t0) * 1000)
                 lat_ms.append(min(reps))
             rate = meter.rate(w0, time.time())
-            lat_sorted = sorted(lat_ms)
-            result["bm25"][scorer] = {
-                "n_queries": len(lat_ms),
-                "p50_ms": round(statistics.median(lat_sorted), 1),
-                "p95_ms": round(lat_sorted[int(0.95 * (len(lat_sorted) - 1))], 1),
+            ls = sorted(lat_ms)
+            result[scorer] = {
+                "n_queries": len(ls),
+                "p50_ms": round(statistics.median(ls), 1),
+                "p95_ms": round(ls[int(0.95 * (len(ls) - 1))], 1),
                 "meter_rate": round(rate, 1) if rate is not None else None,
             }
-        # driver-local latency tier: zero Spark jobs warm (the single-
-        # query answer to the scheduling floor); min of 2 reps — rep 1
-        # of each query pays the one-off cold fetch, rep 2 is warm
+        # driver-local latency tier: zero Spark jobs warm; min of 2 —
+        # rep 1 of each query pays the one-off cold fetch
         lat_local, lat_local_pd = [], []
         for q in reference_query_set():
             reps, reps_pd = [], []
@@ -434,70 +638,90 @@ def main() -> None:
             lat_local_pd.append(min(reps_pd))
         for tag, lat in (("local", lat_local), ("local_pd", lat_local_pd)):
             ls = sorted(lat)
-            result["bm25"][tag] = {
+            result[tag] = {
                 "n_queries": len(ls),
                 "p50_ms": round(statistics.median(ls), 1),
                 "p95_ms": round(ls[int(0.95 * (len(ls) - 1))], 1),
             }
-
-        # batched path: all reference queries in ONE Spark job (the scale
-        # answer to the ~0.4s per-job scheduling floor); min of 2 reps
+        # batched path: all reference queries in ONE Spark job. Min of 3
+        # timed reps WITH a meter receipt (r4 task #7: 47->281 ms/q
+        # across records was weather, unattributed)
         qs = [q["query"] for q in reference_query_set()]
         kk = max(q["k"] for q in reference_query_set())
-        batch_walls = []
-        for _ in range(2):
+        engine.topk_batch(qs, kk, scorer="auto").collect()  # untimed warm
+        batch_walls, batch_rates = [], []
+        for _ in range(3):
+            w0 = time.time()
             t0 = time.monotonic()
             engine.topk_batch(qs, kk, scorer="auto").collect()
             batch_walls.append(time.monotonic() - t0)
-        result["bm25"]["batch"] = {
+            batch_rates.append(meter.rate(w0, time.time()))
+        best = min(range(3), key=lambda i: batch_walls[i])
+        result["batch"] = {
             "n_queries": len(qs),
-            "ms_per_query": round(min(batch_walls) * 1000 / len(qs), 1),
-            "wall_sec": round(min(batch_walls), 3),
+            "ms_per_query": round(batch_walls[best] * 1000 / len(qs), 1),
+            "wall_sec": round(batch_walls[best], 3),
+            "meter_rate": (round(batch_rates[best], 1)
+                           if batch_rates[best] is not None else None),
+            "walls_sec": [round(w, 3) for w in batch_walls],
         }
-        result["storage_bytes_bm25_section"] = _cached_bytes(spark)
+        result["storage_bytes_end"] = _cached_bytes(spark)
     finally:
-        # release the 500k-doc engine caches BEFORE the catalog loop:
-        # r3 left them resident and the relational catalog queries paid
-        # 3x walls (clean steal meters, unchanged plans — GC/memory
-        # pressure from ~the whole executor storage pool being pinned)
         if engine is not None:
             engine.unpersist()
         shutil.rmtree(idx_dir, ignore_errors=True)
-    result["storage_bytes_after_unpersist"] = _cached_bytes(spark)
+        meter.stop()
+        spark.stop()
+        shutil.rmtree(scratch, ignore_errors=True)
+    print("BM25JSON " + json.dumps(result))
+
+
+# ---------------------------------------------------------------------------
+# Section 3: catalog queries (subprocess entry: --catalog)
+# ---------------------------------------------------------------------------
+
+def _catalog_main(sf_dir: str, only: list[str]) -> None:
+    from data_prep_opensearch_spark.plans.queries import REGISTRY
+    from data_prep_opensearch_spark.session import get_spark
+
+    names = only or _headline()
+    meter = _StreamMeter()
+    scratch = tempfile.mkdtemp(prefix="bench_qlocal_", dir=_scratch_root())
+    # RAM-backed spark.local.dir: shuffle spills on the sandbox disk see
+    # co-tenant IO bursts a cpu meter can't (r3: 3-5x walls, clean meter)
+    spark = get_spark(app_name="bench_queries", cores=CPUS,
+                      extra_conf={"spark.local.dir": scratch})
+    _warm_workers(spark, CPUS)
 
     # engine-backed queries build-and-cache a /tmp index on first touch
-    # (keyed by package + index-format version). Warm them UNTIMED so the
-    # timed number is "query a built index" — the build itself is
-    # benchmarked in section 1; without this, a version bump makes the
-    # recorded wall a one-off cold build (r2->r3: 1.6s -> 15.8s artifact).
+    # (keyed by package + index-format version). Warm them UNTIMED so
+    # the timed number is "query a built index" — the build itself is
+    # section 1's subject (r2->r3: a version bump once recorded a
+    # one-off 15.8s cold build as the query wall).
     for name in ("ft_bm25_engine_topk", "ft_engine_latest_prune",
                  "ft_bm25_code_topk"):
-        if name in REGISTRY:
+        if name in names and name in REGISTRY:
             try:
-                REGISTRY[name].fn(spark, SF_DIR).count()
+                REGISTRY[name].fn(spark, sf_dir).count()
             except Exception:
                 pass
-    result["engine_queries_prewarmed"] = True
-    result["storage_bytes_catalog_section"] = _cached_bytes(spark)
 
-    # each query runs TWICE; the headline wall is the MIN (same estimator
-    # philosophy as the scaling section: contamination and first-use JVM
-    # warmup — plan analysis + Janino codegen of large generated classes,
-    # measured ~8s on the biggest expression trees — are strictly
-    # additive). The cold first-run wall is recorded alongside.
     queries: dict[str, float] = {}
     queries_cold: dict[str, float] = {}
     query_meter: dict[str, float] = {}
+    query_storage: dict[str, int] = {}
+    query_gc_ms: dict[str, int] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = REGISTRY[name].fn
+        gc0 = _gc_time_ms(spark)
         walls, rates = [], []
         failed = False
-        for rep in range(2):
+        for _ in range(2):
             t0 = time.monotonic()
             w0 = time.time()
             try:
-                fn(spark, SF_DIR).count()
+                fn(spark, sf_dir).count()
             except Exception as exc:
                 queries[name] = -1.0
                 print(f"bench query {name} failed: {exc}", file=sys.stderr)
@@ -507,56 +731,123 @@ def main() -> None:
             rates.append(meter.rate(w0, time.time()))
         if failed:
             continue
-        best = min(range(2), key=lambda i: walls[i])
+        # receipts: cached/checkpoint bytes the query left behind and
+        # the JVM GC time its reps incurred (r4 task #2), then RELEASE
+        # dead checkpoint blocks so they cannot tax the next query
+        query_storage[name] = _cached_bytes(spark)
+        query_gc_ms[name] = max(_gc_time_ms(spark) - gc0, -1)
+        if query_storage[name] > 0:
+            _release_checkpoints(spark)
+        best = min(range(len(walls)), key=lambda i: walls[i])
         if rates[best] is not None:
             query_meter[name] = round(rates[best], 1)
         queries[name] = round(walls[best], 3)
         queries_cold[name] = round(walls[0], 3)
         total += walls[best]
     meter.stop()
-    result["queries_cold"] = queries_cold
-    result["queries"] = queries
+    out = {
+        "queries": queries,
+        "queries_cold": queries_cold,
+        "query_meter_rates": query_meter,
+        "query_storage_bytes": {k: v for k, v in query_storage.items() if v},
+        "query_gc_ms": query_gc_ms,
+        "value": round(total, 3),
+    }
     if query_meter:
         best = max(query_meter.values())
-        result["query_meter_rates"] = query_meter
-        # wall normalized by the window's external-steal factor — the
-        # number to compare ACROSS rounds (raw walls carry weather)
-        result["queries_normalized"] = {
+        out["queries_normalized"] = {
             n: round(queries[n] * (query_meter[n] / best), 3)
             for n in query_meter
             if queries.get(n, -1) > 0
         }
-        result["query_meter_note"] = (
-            "meter pinned to last cpu, bench+JVM affined to the rest; "
-            "rate = external-contention proxy per query window"
-        )
-    result["value"] = round(total, 3)
     spark.stop()
-    shutil.rmtree(qscratch, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    print("CATALOGJSON " + json.dumps(out))
 
-    # Output protocol (r3 post-mortem: the grown single JSON line outran
-    # the driver's stdout tail window, so BENCH_r03.json recorded
-    # `parsed: null` and the round's scaling number never reached the
-    # driver record). Three artifacts now:
-    #   1. BENCH_DETAIL.json — the full result (trials, meter rates,
-    #      cold walls, normalized walls) committed as a side file;
+
+def _sub_json(args: list[str], tag: str, timeout: int = 3600) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)] + args,
+        capture_output=True, text=True, cwd=REPO, timeout=timeout,
+    )
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith(tag + " "):
+            return json.loads(line[len(tag) + 1:])
+    raise RuntimeError(
+        f"bench subprocess {args[0]} failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    result: dict = {"metric": "engine_bench_detail", "unit": "sec", "sf": SF_DIR}
+
+    from data_prep_opensearch_spark.session import get_spark
+    from data_prep_opensearch_spark.sources.corpus import corpus_df
+
+    # stage the synthetic corpus to parquet ONCE (untimed): the engine's
+    # input contract is a table scan, not a generator. RAM-backed
+    # scratch keeps the sandbox disk out of the measurement.
+    corpus_dir = os.path.join(_scratch_root(), f"bench_corpus_{CORPUS_DOCS}")
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        spark = get_spark(app_name="bench_prepare", cores=CPUS)
+        corpus_df(spark, CORPUS_DOCS, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+        spark.stop()
+
+    # --- 1. scaling: N vs 4N virtual executors, weather-gated ----------
+    result["index_build"] = _run_scaling_section(corpus_dir)
+
+    # --- 2. bm25 latency tiers (fresh subprocess/JVM) ------------------
+    result["bm25"] = _sub_json(["--bm25", corpus_dir], "BM25JSON")
+
+    # --- 3. catalog queries (fresh subprocess/JVM) ---------------------
+    cat = _sub_json(["--catalog", SF_DIR], "CATALOGJSON")
+    result.update({
+        "queries": cat["queries"],
+        "queries_cold": cat["queries_cold"],
+        "query_meter_rates": cat["query_meter_rates"],
+        "query_storage_bytes": cat["query_storage_bytes"],
+        "query_gc_ms": cat["query_gc_ms"],
+        "queries_normalized": cat.get("queries_normalized", {}),
+        "value": cat["value"],
+    })
+    result["query_meter_note"] = (
+        "meter pinned to last cpu, bench+JVM affined to the rest; "
+        "rate = external-contention proxy per query window"
+    )
+    # fresh-single-session re-measurement of the checkpoint-heavy query
+    # (r4 task #2 'done' criterion: in-catalog wall within 1.5x of a
+    # fresh-session wall recorded alongside)
+    try:
+        fresh = _sub_json(["--catalog", SF_DIR, "ft_lsh_pairs"],
+                          "CATALOGJSON", timeout=1200)
+        result["lsh_fresh_session_sec"] = fresh["queries"].get("ft_lsh_pairs")
+    except Exception as exc:
+        print(f"fresh-session lsh re-measure failed: {exc}", file=sys.stderr)
+        result["lsh_fresh_session_sec"] = None
+
+    # Output protocol (r3 post-mortem: one grown JSON line outran the
+    # driver's stdout tail window -> `parsed: null`). Three artifacts:
+    #   1. BENCH_DETAIL.json — the full result, committed as a side file;
     #   2. the full detail line (metric engine_bench_detail), printed
     #      first — best-effort;
-    #   3. a COMPACT summary as the LAST stdout line (<2 KB): the driver
+    #   3. a COMPACT summary as the LAST stdout line: the driver
     #      contract fields (metric/value/unit/sf/queries) plus the
-    #      headline scaling + latency numbers, so the tail window always
-    #      holds one complete parseable record.
-    ib = result.get("index_build", {})
+    #      headline scaling + latency numbers with their gate receipts.
+    ib = result["index_build"]
+    high = LOW * 4
     summary = {
         "metric": "engine_bench",
         "value": result["value"],
         "unit": "sec",
         "sf": SF_DIR,
-        "queries": queries,
+        "queries": result["queries"],
         "scaling_efficiency": ib.get("scaling_efficiency"),
+        "scaling_efficiency_raw": ib.get("scaling_efficiency_raw"),
+        "scaling_pairs_clean": f"{ib.get('pairs_clean')}/{ib.get('pairs_run')}",
         f"local{LOW}_sec": ib.get(f"local{LOW}_sec"),
-        f"local{LOW * 4}_sec": ib.get(f"local{LOW * 4}_sec"),
-        f"local{LOW * 4}_docs_per_sec": ib.get(f"local{LOW * 4}_docs_per_sec"),
+        f"local{high}_sec": ib.get(f"local{high}_sec"),
+        f"local{high}_docs_per_sec": ib.get(f"local{high}_docs_per_sec"),
         "bm25_p50_ms": {
             s: result.get("bm25", {}).get(s, {}).get("p50_ms")
             for s in ("wand", "auto", "local", "local_pd")
@@ -564,6 +855,10 @@ def main() -> None:
         "bm25_batch_ms_per_query": result.get("bm25", {})
         .get("batch", {})
         .get("ms_per_query"),
+        "bm25_batch_meter_rate": result.get("bm25", {})
+        .get("batch", {})
+        .get("meter_rate"),
+        "lsh_fresh_session_sec": result.get("lsh_fresh_session_sec"),
         "detail": "BENCH_DETAIL.json",
     }
     try:
@@ -572,11 +867,21 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(result))
-    print(json.dumps(summary))
+    # compact separators: the driver parses the LAST line of a 2000-char
+    # stdout tail window; with the full 47-query catalog in `queries`
+    # the default rendering is ~1.7 KB — the tighter form buys margin
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build-once":
         _build_once_main(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        # section 1 alone, against an already-staged corpus dir
+        print("SCALINGJSON " + json.dumps(_run_scaling_section(sys.argv[2])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bm25":
+        _bm25_main(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--catalog":
+        _catalog_main(sys.argv[2], sys.argv[3:])
     else:
         main()
