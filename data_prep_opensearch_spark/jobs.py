@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--local", action="store_true",
                    help="driver-local latency tier (falls back to the "
                         "distributed path past the posting-mass guard)")
+    q.add_argument("--msm", default=None,
+                   help="minimum-should-match: an int m (>= m of the "
+                        "query's n distinct terms) or 'all' (pure AND)")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -119,16 +122,19 @@ def main(argv: list[str] | None = None) -> int:
             sort_segments(spark, args.index)
         print(json.dumps(meta))
     elif args.cmd == "query":
+        msm = args.msm if args.msm in (None, "all") else int(args.msm)
         if args.local:
             from data_prep_opensearch_spark.operators.bm25 import BM25Engine
 
             eng = BM25Engine(spark, args.index, cache=False)
-            rows = eng.topk_local(args.q, args.k, scorer=args.scorer).collect()
+            rows = eng.topk_local(args.q, args.k, scorer=args.scorer,
+                                  min_should_match=msm).collect()
         else:
             from data_prep_opensearch_spark.operators.bm25 import query_topk
 
             rows = query_topk(spark, args.index, args.q, args.k,
-                              scorer=args.scorer).collect()
+                              scorer=args.scorer,
+                              min_should_match=msm).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
     elif args.cmd == "merge":
         from data_prep_opensearch_spark.operators.segment_merge import merge_segments

@@ -25,6 +25,7 @@ Query plan shape (the engine's second entry point, SURVEY.md §3.3):
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -59,6 +60,25 @@ def bm25_tf_term(tf, dl, avgdl: float):
 def bm25_upper_bound(idf_t: float, max_tf: int, min_dl: int, avgdl: float) -> float:
     """Block upper bound: BM25 tf-term is increasing in tf, decreasing in dl."""
     return idf_t * bm25_tf_term(float(max_tf), float(min_dl), avgdl)
+
+
+def resolve_msm(msm, n_terms: int) -> int:
+    """Normalize a ``min_should_match`` spec to an int.
+
+    ``None``/``0``/``1`` -> 1 (disjunctive OR, the default); ``"all"`` ->
+    the number of DISTINCT query terms (pure AND); an int m -> m-of-n.
+    ``n_terms`` counts distinct tokenized terms BEFORE the df>0 filter —
+    Lucene semantics: an AND over a query containing a term absent from
+    the index matches nothing (the missing clause can never be satisfied).
+    """
+    if msm is None or msm == 0:
+        return 1
+    if msm == "all":
+        return n_terms if n_terms else 1
+    m = int(msm)
+    if m < 0:
+        raise ValueError(f"min_should_match must be >= 0, got {msm}")
+    return max(m, 1)
 
 
 def bm25_sql_score_expr(tf: str, dl: str, df: str, n: str, avgdl: str) -> str:
@@ -298,6 +318,7 @@ class BM25Engine:
         scorer: str = "auto",
         max_postings: int | None = None,
         as_pandas: bool = False,
+        min_should_match: int | str | None = None,
     ) -> DataFrame | pd.DataFrame:
         """Driver-local LATENCY TIER: identical scores to ``topk`` (same
         scorer kernels on the same decoded bytes — parity-tested), but
@@ -337,13 +358,14 @@ class BM25Engine:
         terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
         if not terms:
             return _out(_empty_topk())
+        msm = resolve_msm(min_should_match, len(terms))
         df_map = self.resolve_df(terms)
         terms = [t for t in terms if df_map[t] > 0]
-        if not terms:
+        if not terms or len(terms) < msm:
             return _out(_empty_topk())
         cap = self.LOCAL_MAX_POSTINGS if max_postings is None else max_postings
         if sum(df_map[t] for t in terms) > cap:
-            dist = self.topk(query, k, scorer)
+            dist = self.topk(query, k, scorer, min_should_match=msm)
             return dist.toPandas() if as_pandas else dist
 
         # fetch + decode ONCE per term: the cache holds flat, fully
@@ -465,6 +487,11 @@ class BM25Engine:
         docs, contrib = docs[order], contrib[order]
         uniq, starts = np.unique(docs, return_index=True)
         scores = np.add.reduceat(contrib, starts)
+        if msm > 1:
+            # per-term docs are unique, so the posting count per unique
+            # doc IS its distinct matched-term count
+            nmatch = np.diff(np.append(starts, docs.size))
+            uniq, scores = uniq[nmatch >= msm], scores[nmatch >= msm]
         if self._local_deleted.size:
             alive = ~np.isin(uniq, self._local_deleted, assume_unique=True)
             uniq, scores = uniq[alive], scores[alive]
@@ -477,19 +504,34 @@ class BM25Engine:
         })
         return _out(res)
 
-    def topk(self, query: str, k: int = 10, scorer: str = "auto") -> DataFrame:
+    def topk(
+        self, query: str, k: int = 10, scorer: str = "auto",
+        min_should_match: int | str | None = None,
+    ) -> DataFrame:
+        """``min_should_match``: require >= m of the query's distinct
+        terms per result doc (``"all"`` = pure AND; default/1 = OR).
+        Conjunctive queries route to the pigeonhole scorer — candidates
+        come from the rarest (n-msm+1) lists, hot lists are only probed
+        at candidate positions (block-lazy) — with a dense counting
+        fallback when nothing is skippable."""
         self._maybe_refresh()
         spark = self.spark
         terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
+        msm = resolve_msm(min_should_match, len(terms))
         df_map = self.resolve_df(terms)
         terms = [t for t in terms if df_map[t] > 0]
-        if not terms:
+        # fewer surviving terms than msm (incl. AND with an unindexed
+        # term): no doc can satisfy the clause count
+        if not terms or len(terms) < msm:
             return spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
         idf_map = {t: idf(n_docs, df_map[t]) for t in terms}
 
-        scorer = self._pick_scorer(terms, df_map, n_docs, scorer)
-        scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
+        if msm > 1:
+            scorer_fn = functools.partial(_score_shard_msm, msm=msm)
+        else:
+            scorer = self._pick_scorer(terms, df_map, n_docs, scorer)
+            scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
 
         seg = self.seg.filter(F.col("term").isin(terms))
         if not self._shard_partitioned:
@@ -520,7 +562,8 @@ class BM25Engine:
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_batch(
-        self, queries: list[str], k: int = 10, scorer: str = "auto"
+        self, queries: list[str], k: int = 10, scorer: str = "auto",
+        min_should_match: int | str | None = None,
     ) -> DataFrame:
         """Score a BATCH of queries in ONE Spark job (returns (query_id,
         doc_id, score); query_id = position in ``queries``).
@@ -542,13 +585,17 @@ class BM25Engine:
 
         plans: list[tuple[list[str], dict[str, float], object]] = []
         for ts in terms_by_q:
+            msm = resolve_msm(min_should_match, len(ts))
             ts = [t for t in ts if df_map.get(t, 0) > 0]
-            if not ts:
+            if not ts or len(ts) < msm:
                 plans.append(([], {}, None))
                 continue
             idf_map = {t: idf(n_docs, df_map[t]) for t in ts}
-            s = self._pick_scorer(ts, df_map, n_docs, scorer)
-            fn = _score_shard_wand if s == "wand" else _score_shard_dense
+            if msm > 1:
+                fn = functools.partial(_score_shard_msm, msm=msm)
+            else:
+                s = self._pick_scorer(ts, df_map, n_docs, scorer)
+                fn = _score_shard_wand if s == "wand" else _score_shard_dense
             plans.append((ts, idf_map, fn))
 
         union_terms = sorted({t for ts, _, _ in plans for t in ts})
@@ -596,9 +643,12 @@ def query_topk(
     query: str,
     k: int = 10,
     scorer: str = "wand",
+    min_should_match: int | str | None = None,
 ) -> DataFrame:
     """One-shot top-k BM25 (cold engine) — see BM25Engine for warm reuse."""
-    return BM25Engine(spark, index_dir, cache=False).topk(query, k, scorer)
+    return BM25Engine(spark, index_dir, cache=False).topk(
+        query, k, scorer, min_should_match=min_should_match
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -634,16 +684,20 @@ def _decode_group(grp: pd.DataFrame, base: int) -> dict[str, tuple[np.ndarray, n
 def _score_shard_dense(
     grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
     base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
-    dl_arr: np.ndarray | None = None,
+    dl_arr: np.ndarray | None = None, msm: int = 1,
 ) -> pd.DataFrame:
     """Exhaustive vectorized scorer: dense accumulator over the shard's
-    contiguous docID range (shards ARE docID ranges by construction)."""
+    contiguous docID range (shards ARE docID ranges by construction).
+    ``msm`` > 1 adds a parallel match-count accumulator (postings are
+    unique per (term, doc) after generation merge, so the count IS the
+    number of distinct matched query terms) and zeroes docs below it."""
     postings = _decode_group(grp, base)
     if dl_arr is None:
         dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
     if not postings:
         return _empty_topk()
     acc = np.zeros(dl_arr.shape[0], dtype=np.float64)
+    cnt = np.zeros(dl_arr.shape[0], dtype=np.int32) if msm > 1 else None
     for term, (docs, tfs) in postings.items():
         if docs.size == 0:
             continue
@@ -652,6 +706,10 @@ def _score_shard_dense(
         acc[off] += idf_map[term] * bm25_tf_term(
             tfs.astype(np.float64), dl.astype(np.float64), avgdl
         )
+        if cnt is not None:
+            cnt[off] += 1
+    if cnt is not None:
+        acc[cnt < msm] = 0.0
     if deleted is not None and deleted.size:
         # tombstone mask; clip to the shard's populated range — a stale or
         # bogus tombstone id must not crash every query on this shard
@@ -948,4 +1006,95 @@ def _score_shard_wand(
     return pd.DataFrame({
         "doc_id": pool_docs[sel].astype("int64"),
         "score": pool_scores[sel],
+    })
+
+
+def _score_shard_msm(
+    grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
+    base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
+    msm: int = 2,
+) -> pd.DataFrame:
+    """Conjunctive / minimum-should-match shard scorer via PIGEONHOLE
+    candidate generation: a doc matching >= msm of the query's n terms
+    present in this shard must appear in at least one of the
+    (n - msm + 1) RAREST posting lists (if it missed all of them it
+    could match at most msm-1 of the remaining). Those lists are decoded
+    fully as the candidate universe; the remaining (hot) lists are
+    probed only at candidate positions via block-lazy ``tf_at`` — an
+    AND of a needle term with a stopword never bulk-decodes the
+    stopword's postings. Scores are exact full BM25 sums over every
+    matched term; the count gate uses distinct matched terms.
+
+    Falls back to the dense counting accumulator when the candidate
+    universe approaches the shard size (nothing left to skip) — same
+    cost-router philosophy as ``_score_shard_wand``.
+    """
+    if len(grp) == 0:
+        return _empty_topk()
+    dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
+
+    term_arr = grp["term"].to_numpy()
+    df_by_term: dict[str, int] = {}
+    for t, d in zip(term_arr, grp["df"].to_numpy()):
+        df_by_term[t] = df_by_term.get(t, 0) + int(d)
+    terms = sorted(df_by_term, key=lambda t: (df_by_term[t], t))
+    if len(terms) < msm:
+        return _empty_topk()  # shard lacks msm of the query's terms
+    n_small = len(terms) - msm + 1
+    small, rest = terms[:n_small], terms[n_small:]
+    if sum(df_by_term[t] for t in small) > 0.33 * dl_arr.size:
+        return _score_shard_dense(grp, idf_map, avgdl, k, base, dl_bytes,
+                                  deleted, dl_arr=dl_arr, msm=msm)
+
+    cols = {c: grp[c].to_numpy() for c in (
+        "gen", "df", "doc_bytes", "tf_bytes", "block_first",
+        "block_last", "block_max_tf", "block_min_dl")}
+    has_offs = "block_doc_off" in grp.columns
+    if has_offs:
+        cols["block_doc_off"] = grp["block_doc_off"].to_numpy()
+        cols["block_tf_off"] = grp["block_tf_off"].to_numpy()
+    by_term: dict[str, list[dict]] = {}
+    for i in range(len(grp)):
+        row = {c: v[i] for c, v in cols.items()}
+        if not has_offs:
+            row["block_doc_off"] = None
+        by_term.setdefault(term_arr[i], []).append(row)
+    lazies = {t: _LazyTermPostings(by_term[t], base) for t in terms}
+
+    parts_d, parts_c = [], []
+    for t in small:
+        docs, tfs = lazies[t].full()
+        if docs.size:
+            parts_d.append(docs)
+            parts_c.append(
+                idf_map[t] * bm25_tf_term(
+                    tfs.astype(np.float64),
+                    dl_arr[docs - base].astype(np.float64), avgdl,
+                )
+            )
+    if not parts_d:
+        return _empty_topk()
+    docs = np.concatenate(parts_d)
+    contrib = np.concatenate(parts_c)
+    order = np.argsort(docs, kind="stable")
+    docs, contrib = docs[order], contrib[order]
+    cands, starts = np.unique(docs, return_index=True)
+    sc = np.add.reduceat(contrib, starts)
+    cnt = np.diff(np.append(starts, docs.size)).astype(np.int64)
+    dl_c = dl_arr[cands - base].astype(np.float64)
+    for t in rest:
+        vals, hit = lazies[t].tf_at(cands)
+        if hit.any():
+            sc[hit] += idf_map[t] * bm25_tf_term(vals[hit], dl_c[hit], avgdl)
+            cnt[hit] += 1
+    keep = cnt >= msm
+    if deleted is not None and deleted.size:
+        keep &= ~np.isin(cands, deleted)
+    cands, sc = cands[keep], sc[keep]
+    if cands.size == 0:
+        return _empty_topk()
+    sel = np.lexsort((cands, -sc))[:k]
+    return pd.DataFrame({
+        "doc_id": cands[sel].astype("int64"),
+        "score": sc[sel],
     })

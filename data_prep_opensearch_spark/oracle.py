@@ -30,9 +30,16 @@ class OracleIndex:
                 self.df[term] += 1
                 self.postings.setdefault(term, []).append((d, tf))
 
-    def query(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def query(
+        self, query: str, k: int = 10,
+        min_should_match: int | str | None = None,
+    ) -> list[tuple[int, float]]:
+        from data_prep_opensearch_spark.operators.bm25 import resolve_msm
+
         terms = sorted(set(TOKENIZERS[self.tokenizer](query)))
+        msm = resolve_msm(min_should_match, len(terms))
         scores: dict[int, float] = {}
+        nmatch: dict[int, int] = {}
         for t in terms:
             plist = self.postings.get(t)
             if not plist:
@@ -42,7 +49,11 @@ class OracleIndex:
                 scores[d] = scores.get(d, 0.0) + w * bm25_tf_term(
                     float(tf), float(self.doclen[d]), self.avgdl
                 )
-        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+                nmatch[d] = nmatch.get(d, 0) + 1
+        ranked = sorted(
+            ((d, s) for d, s in scores.items() if nmatch[d] >= msm),
+            key=lambda x: (-x[1], x[0]),
+        )
         return ranked[:k]
 
 

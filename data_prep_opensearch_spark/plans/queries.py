@@ -117,10 +117,13 @@ def ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql(relation: str, terms: list[str], k: int) -> str:
+def _bm25_sql(relation: str, terms: list[str], k: int, msm: int = 1) -> str:
     from data_prep_opensearch_spark.operators.bm25 import B, K1
 
     term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    # tf is one row per (doc, term), so count(*) in the per-doc group IS
+    # the distinct matched-term count — the minimum-should-match gate
+    having = f"HAVING count(*) >= {msm}" if msm > 1 else ""
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
@@ -143,12 +146,14 @@ def _bm25_sql(relation: str, terms: list[str], k: int) -> str:
     JOIN dl ON tf.doc_id = dl.doc_id
     CROSS JOIN stats
     GROUP BY tf.doc_id
+    {having}
     ORDER BY score DESC, doc_id ASC
     LIMIT {k}
     """
 
 
-def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int) -> DataFrame:
+def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int,
+                    msm: int = 1) -> DataFrame:
     """Declarative BM25: the same math as the segment engine, expressed as
     a pure Catalyst plan (explode → agg → broadcast dictionary join).
     Useful both as a correctness oracle twin and as the 'no index yet'
@@ -177,8 +182,14 @@ def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int) -> DataFrame:
             / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+        .agg(
+            F.round(F.sum("contrib"), 4).alias("score"),
+            F.count("*").alias("_nmatch"),
+        )
     )
+    if msm > 1:
+        scored = scored.filter(F.col("_nmatch") >= msm)
+    scored = scored.drop("_nmatch")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -194,19 +205,13 @@ def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ft_bm25_engine_topk",
-    _bm25_sql("SELECT doc_id, text FROM documents", BM25_QUERY_TERMS, BM25_K),
-    covers=["O7 block-max WAND engine", "M3 segment index", "§3.3 query lifecycle"],
-)
-def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL engine under the oracle: build the segment index from the
-    documents table, answer with block-max WAND, map internal docIDs back.
-    Same oracle SQL as ft_bm25_topk — the engine is rank-identical."""
+def _ensure_docs_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir + package/index-format version) the segment
+    index over the documents table; return its directory. Shared by every
+    engine-backed catalog entry so the build cost is paid once."""
     import hashlib
     import os
 
-    from data_prep_opensearch_spark.operators.bm25 import query_topk
     from data_prep_opensearch_spark.operators.index_build import build_index
 
     import data_prep_opensearch_spark as pkg
@@ -226,9 +231,15 @@ def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").alias("content"),
         )
         build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+    return index_dir
+
+
+def _engine_topk_to_external(topk: DataFrame, spark: SparkSession,
+                             index_dir: str) -> DataFrame:
+    """Map internal engine docIDs back to the external doc_id (stored as
+    the `path` field at index time)."""
     from data_prep_opensearch_spark.operators.manifest import read_doc_stats
 
-    topk = query_topk(spark, index_dir, " ".join(BM25_QUERY_TERMS), BM25_K, scorer="wand")
     stats = read_doc_stats(spark, index_dir).select(
         F.col("doc_id").alias("engine_doc_id"), F.col("path")
     )
@@ -239,6 +250,60 @@ def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score"), 4).alias("score"),
         )
     )
+
+
+@register(
+    "ft_bm25_engine_topk",
+    _bm25_sql("SELECT doc_id, text FROM documents", BM25_QUERY_TERMS, BM25_K),
+    covers=["O7 block-max WAND engine", "M3 segment index", "§3.3 query lifecycle"],
+)
+def ft_bm25_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL engine under the oracle: build the segment index from the
+    documents table, answer with block-max WAND, map internal docIDs back.
+    Same oracle SQL as ft_bm25_topk — the engine is rank-identical."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(spark, index_dir, " ".join(BM25_QUERY_TERMS), BM25_K, scorer="wand")
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
+@register(
+    "ft_bm25_msm_topk",
+    _bm25_sql("SELECT doc_id, text FROM documents", BM25_QUERY_TERMS, BM25_K,
+              msm=3),
+    covers=["O7 top-k BM25 minimum-should-match (declarative twin)"],
+)
+def ft_bm25_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match (3 of 4 terms) on the declarative path: same
+    BM25 math, results gated on distinct matched-term count — the m-of-n
+    semantics of a fulltext engine's `minimum_should_match` clause."""
+    return _bm25_dataframe(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        BM25_QUERY_TERMS, BM25_K, msm=3,
+    )
+
+
+@register(
+    "ft_bm25_and_topk",
+    _bm25_sql("SELECT doc_id, text FROM documents", BM25_QUERY_TERMS, BM25_K,
+              msm=len(BM25_QUERY_TERMS)),
+    covers=["O7 top-k BM25 conjunctive AND (segment engine)"],
+)
+def ft_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-AND top-k on the SEGMENT ENGINE (min_should_match="all"):
+    candidates come from the pigeonhole scorer — the rarest posting list
+    is decoded fully, every other term is probed block-lazily at
+    candidate positions only. Oracle: same BM25 SQL with a
+    HAVING count(*) = n clause gate."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(
+        spark, index_dir, " ".join(BM25_QUERY_TERMS), BM25_K,
+        min_should_match="all",
+    )
+    return _engine_topk_to_external(topk, spark, index_dir)
 
 
 def _latest_prune_sql(terms: list[str], k: int) -> str:

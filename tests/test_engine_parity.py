@@ -256,3 +256,120 @@ def test_engine_refresh_on_mutation_without_flush(spark, tmp_root):
             assert got == want, q
     finally:
         eng.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# minimum-should-match / conjunctive queries
+# ---------------------------------------------------------------------------
+
+def _msm_query_set():
+    """Multi-term queries chosen to exercise BOTH msm shard paths:
+    needle+hot terms (pigeonhole: rare list = candidates, hot list
+    probed lazily) and hot+hot terms (dense counting fallback — the
+    candidate universe covers the shard)."""
+    return [
+        "needle0 import",          # needle + hot
+        "fn3 sym7 return",         # mixed, 3 terms
+        "sym1 sym2 sym4 fn9",      # 4 mid-df terms
+        "import def",              # hot + hot -> dense fallback
+        "class self sym10",
+        "zzz_absent needle2",      # absent term counts toward n
+    ]
+
+
+def test_topk_msm_parity_vs_oracle(spark, built_index, oracle_index):
+    """Engine min_should_match must be rank- and score-identical to the
+    exhaustive oracle for every m in 2..n and for "all"."""
+    from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    for q in _msm_query_set():
+        n = len(set(TOKENIZERS["simple"](q)))
+        for msm in [*range(2, n + 1), "all"]:
+            expected = oracle_index.query(q, 10, min_should_match=msm)
+            got = [(r["doc_id"], r["score"])
+                   for r in eng.topk(q, 10, min_should_match=msm).collect()]
+            assert len(got) == len(expected), (q, msm, got, expected)
+            for (gd, gs), (ed, es) in zip(got, expected):
+                assert gd == ed, (q, msm, got, expected)
+                assert abs(gs - es) <= 1e-9, (q, msm, gd, gs, es)
+
+
+def test_msm_default_is_or(spark, built_index):
+    """msm absent / None / 0 / 1 are all plain disjunctive OR."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=False)
+    base = [(r["doc_id"], round(r["score"], 12))
+            for r in eng.topk("needle0 import", 10).collect()]
+    for msm in (None, 0, 1):
+        got = [(r["doc_id"], round(r["score"], 12))
+               for r in eng.topk("needle0 import", 10,
+                                 min_should_match=msm).collect()]
+        assert got == base, msm
+
+
+def test_msm_unsatisfiable_is_empty(spark, built_index):
+    """AND with an unindexed term, or m > n, matches nothing (Lucene
+    semantics: the missing clause can never be satisfied)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=False)
+    assert eng.topk("zzz_absent needle2", 10,
+                    min_should_match="all").count() == 0
+    assert eng.topk("needle0 import", 10, min_should_match=3).count() == 0
+    assert eng.topk_local("zzz_absent needle2", 10,
+                          min_should_match="all").count() == 0
+
+
+def test_topk_local_msm_parity(spark, built_index):
+    """Driver-local tier with msm agrees with the distributed path,
+    warm path included; over-cap fallback carries msm through."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    for q in _msm_query_set():
+        for msm in (2, "all"):
+            dist = [(r["doc_id"], round(r["score"], 12))
+                    for r in eng.topk(q, 10, min_should_match=msm).collect()]
+            for _rep in range(2):  # cold fetch, then warm cache
+                loc = [(r["doc_id"], round(r["score"], 12))
+                       for r in eng.topk_local(
+                           q, 10, min_should_match=msm).collect()]
+                assert loc == dist, (q, msm)
+    # fallback path (cap=1 forces distributed) with msm
+    got = [(r["doc_id"], round(r["score"], 12))
+           for r in eng.topk_local("needle0 import", 10, max_postings=1,
+                                   min_should_match=2).collect()]
+    want = [(r["doc_id"], round(r["score"], 12))
+            for r in eng.topk("needle0 import", 10,
+                              min_should_match=2).collect()]
+    assert got == want
+
+
+def test_topk_batch_msm_parity(spark, built_index):
+    """Batched msm queries return per-query results identical to the
+    single-query path."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    qs = _msm_query_set()
+    rows = eng.topk_batch(qs, 10, min_should_match=2).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["doc_id"], r["score"])
+        )
+    for qi, q in enumerate(qs):
+        single = [(r["doc_id"], r["score"])
+                  for r in eng.topk(q, 10, min_should_match=2).collect()]
+        got = sorted(by_q.get(qi, []), key=lambda x: (-x[1], x[0]))
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in single], (qi, q)
+        for (gd, gs), (sd, ss) in zip(got, single):
+            assert abs(gs - ss) <= 1e-12, (qi, q, gd, gs, ss)
