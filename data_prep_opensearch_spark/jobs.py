@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--local", action="store_true",
                    help="driver-local latency tier (falls back to the "
                         "distributed path past the posting-mass guard)")
+    q.add_argument("--max-expansions", type=int, default=None,
+                   help="cap per trailing-* prefix clause (default 50, "
+                        "df-ranked expansions win)")
     q.add_argument("--msm", default=None,
                    help="minimum-should-match: an int m (>= m of the "
                         "query's n distinct terms) or 'all' (pure AND)")
@@ -128,13 +131,15 @@ def main(argv: list[str] | None = None) -> int:
 
             eng = BM25Engine(spark, args.index, cache=False)
             rows = eng.topk_local(args.q, args.k, scorer=args.scorer,
-                                  min_should_match=msm).collect()
+                                  min_should_match=msm,
+                                  max_expansions=args.max_expansions).collect()
         else:
             from data_prep_opensearch_spark.operators.bm25 import query_topk
 
             rows = query_topk(spark, args.index, args.q, args.k,
                               scorer=args.scorer,
-                              min_should_match=msm).collect()
+                              min_should_match=msm,
+                              max_expansions=args.max_expansions).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
     elif args.cmd == "merge":
         from data_prep_opensearch_spark.operators.segment_merge import merge_segments

@@ -62,6 +62,32 @@ def bm25_upper_bound(idf_t: float, max_tf: int, min_dl: int, avgdl: float) -> fl
     return idf_t * bm25_tf_term(float(max_tf), float(min_dl), avgdl)
 
 
+def parse_query(query: str, tok) -> tuple[list[str], list[str]]:
+    """Split a query string into (literal terms, prefix stems).
+
+    A whitespace chunk ending in ``*`` is a PREFIX clause: its stem is
+    run through the tokenizer, the last produced token becomes the
+    prefix stem and any earlier ones (e.g. the ``foo`` of ``foo.bar*``
+    under the 'code' tokenizer) stay literal. Everything else is
+    tokenized wholesale (the tokenizers are regex-findall, so joining
+    chunks with a space is lossless).
+    """
+    literals: list[str] = []
+    prefixes: list[str] = []
+    plain: list[str] = []
+    for chunk in query.split():
+        if chunk.endswith("*") and len(chunk) > 1:
+            stem_tokens = tok(chunk[:-1])
+            if not stem_tokens:
+                continue
+            literals.extend(stem_tokens[:-1])
+            prefixes.append(stem_tokens[-1])
+        else:
+            plain.append(chunk)
+    literals.extend(tok(" ".join(plain)))
+    return literals, prefixes
+
+
 def resolve_msm(msm, n_terms: int) -> int:
     """Normalize a ``min_should_match`` spec to an int.
 
@@ -249,6 +275,8 @@ class BM25Engine:
         # (the round-1 toPandas() pulled the whole vocab to the driver,
         # which cannot exist at 10^12 docs). Warm terms are cached.
         self._df_cache: dict[str, int] = {}
+        # prefix-expansion cache: (stem, cap) -> [(term, df), ...]
+        self._prefix_cache: dict[tuple[str, int], list[tuple[str, int]]] = {}
         # driver-local latency tier (topk_local): fully decoded per-term
         # posting arrays and per-shard sidecars, fetched on demand and
         # LRU-bounded
@@ -271,6 +299,7 @@ class BM25Engine:
             self.seg.unpersist(blocking=True)
             self.sidecar.unpersist(blocking=True)
         self._df_cache.clear()
+        self._prefix_cache.clear()
         self._local_flat.clear()
         self._local_side.clear()
         self._local_deleted = np.zeros(0, dtype=np.int64)
@@ -293,6 +322,67 @@ class BM25Engine:
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
+
+    # Lucene-style default cap on multi-term expansion
+    MAX_EXPANSIONS = 50
+
+    def expand_prefix(
+        self, stem: str, max_expansions: int | None = None
+    ) -> list[tuple[str, int]]:
+        """Expand a prefix stem against the index dictionary: one
+        filtered-aggregate job over the TERM-SORTED segment files —
+        `startswith` pushes to the parquet scan as a StringStartsWith
+        filter, so row groups outside the stem's [stem, stem~) min/max
+        range are pruned and this stays a dictionary point-read at any
+        corpus size (never a vocabulary collect). The cap keeps the
+        expanded clause bounded (Lucene's max_expansions): when a stem
+        matches more terms, the HIGHEST-df expansions win (ties to the
+        lexicographically first term) — the deterministic choice that
+        retains the expansions with the most matches.
+        Returns [(term, global_df), ...] df-desc; cached per stem until
+        the next index mutation."""
+        cap = self.MAX_EXPANSIONS if max_expansions is None else max_expansions
+        key = (stem, cap)
+        if key not in self._prefix_cache:
+            rows = (
+                self.seg.filter(F.col("term").startswith(stem))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(cap)
+                .collect()
+            )
+            exp = [(r["term"], int(r["df"])) for r in rows]
+            self._prefix_cache[key] = exp
+            for t, d in exp:  # expansion dfs seed the term-df cache
+                self._df_cache.setdefault(t, d)
+        return self._prefix_cache[key]
+
+    def _plan_clauses(
+        self, query: str, max_expansions: int | None = None
+    ) -> tuple[list[list[str]], int]:
+        """Parse a query into CLAUSES: each literal term is one clause;
+        each `stem*` prefix is ONE clause whose members are its (capped)
+        dictionary expansions — so under min_should_match a prefix counts
+        once no matter how many of its expansions a document matches
+        (Lucene/ES clause semantics). Returns (clauses-with-df>0-members,
+        n_clauses-before-df-filtering) — msm resolves against the latter,
+        so an AND query with an unindexed literal or a no-match prefix is
+        unsatisfiable, matching the literal-terms path."""
+        tok = TOKENIZERS[self.meta["tokenizer"]]
+        literals, prefixes = parse_query(query, tok)
+        clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
+        for stem in sorted(set(prefixes)):
+            clauses.append(
+                [t for t, _ in self.expand_prefix(stem, max_expansions)]
+            )
+        n_clauses = len(clauses)
+        flat = sorted({t for cl in clauses for t in cl})
+        df_map = self.resolve_df(flat)
+        kept = [
+            [t for t in cl if df_map[t] > 0] for cl in clauses
+        ]
+        return [cl for cl in kept if cl], n_clauses
 
     @staticmethod
     def _pick_scorer(terms: list[str], df_map: dict[str, int],
@@ -319,6 +409,7 @@ class BM25Engine:
         max_postings: int | None = None,
         as_pandas: bool = False,
         min_should_match: int | str | None = None,
+        max_expansions: int | None = None,
     ) -> DataFrame | pd.DataFrame:
         """Driver-local LATENCY TIER: identical scores to ``topk`` (same
         scorer kernels on the same decoded bytes — parity-tested), but
@@ -355,17 +446,16 @@ class BM25Engine:
                 return pdf.reset_index(drop=True)
             return spark.createDataFrame(pdf, TOPK_SCHEMA)
 
-        terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
-        if not terms:
-            return _out(_empty_topk())
-        msm = resolve_msm(min_should_match, len(terms))
+        clauses, n_clauses = self._plan_clauses(query, max_expansions)
+        msm = resolve_msm(min_should_match, n_clauses)
+        terms = sorted({t for cl in clauses for t in cl})
         df_map = self.resolve_df(terms)
-        terms = [t for t in terms if df_map[t] > 0]
-        if not terms or len(terms) < msm:
+        if not terms or len(clauses) < msm:
             return _out(_empty_topk())
         cap = self.LOCAL_MAX_POSTINGS if max_postings is None else max_postings
         if sum(df_map[t] for t in terms) > cap:
-            dist = self.topk(query, k, scorer, min_should_match=msm)
+            dist = self.topk(query, k, scorer, min_should_match=msm,
+                             max_expansions=max_expansions)
             return dist.toPandas() if as_pandas else dist
 
         # fetch + decode ONCE per term: the cache holds flat, fully
@@ -488,9 +578,28 @@ class BM25Engine:
         uniq, starts = np.unique(docs, return_index=True)
         scores = np.add.reduceat(contrib, starts)
         if msm > 1:
-            # per-term docs are unique, so the posting count per unique
-            # doc IS its distinct matched-term count
-            nmatch = np.diff(np.append(starts, docs.size))
+            if all(len(cl) == 1 for cl in clauses):
+                # per-term docs are unique, so the posting count per
+                # unique doc IS its distinct matched-clause count
+                nmatch = np.diff(np.append(starts, docs.size))
+            else:
+                # prefix clauses: a clause counts once per doc however
+                # many of its member expansions matched — per clause,
+                # union the member postings and mark (uniq is sorted, so
+                # searchsorted maps each clause-doc to its slot)
+                nmatch = np.zeros(uniq.size, dtype=np.int64)
+                for cl in clauses:
+                    ps = [
+                        self._local_flat[t][0] for t in cl
+                        if t in self._local_flat
+                        and self._local_flat[t][0].size
+                    ]
+                    if not ps:
+                        continue
+                    dcl = ps[0] if len(ps) == 1 else np.unique(
+                        np.concatenate(ps)
+                    )
+                    nmatch[np.searchsorted(uniq, dcl)] += 1
             uniq, scores = uniq[nmatch >= msm], scores[nmatch >= msm]
         if self._local_deleted.size:
             alive = ~np.isin(uniq, self._local_deleted, assume_unique=True)
@@ -507,28 +616,36 @@ class BM25Engine:
     def topk(
         self, query: str, k: int = 10, scorer: str = "auto",
         min_should_match: int | str | None = None,
+        max_expansions: int | None = None,
     ) -> DataFrame:
-        """``min_should_match``: require >= m of the query's distinct
-        terms per result doc (``"all"`` = pure AND; default/1 = OR).
-        Conjunctive queries route to the pigeonhole scorer — candidates
-        come from the rarest (n-msm+1) lists, hot lists are only probed
+        """``min_should_match``: require >= m of the query's CLAUSES per
+        result doc (``"all"`` = pure AND; default/1 = OR). A literal
+        term is one clause; a trailing-``*`` chunk is one PREFIX clause
+        — expanded against the dictionary (df-ranked, capped at
+        ``max_expansions``), scored as a scoring-boolean (each expansion
+        contributes its own idf-weighted BM25), and counting ONCE toward
+        the clause gate however many expansions match. Conjunctive
+        queries route to the pigeonhole scorer — candidates come from
+        the rarest (n-msm+1) clause groups, hot lists are only probed
         at candidate positions (block-lazy) — with a dense counting
         fallback when nothing is skippable."""
         self._maybe_refresh()
         spark = self.spark
-        terms = sorted(set(TOKENIZERS[self.meta["tokenizer"]](query)))
-        msm = resolve_msm(min_should_match, len(terms))
+        clauses, n_clauses = self._plan_clauses(query, max_expansions)
+        msm = resolve_msm(min_should_match, n_clauses)
+        terms = sorted({t for cl in clauses for t in cl})
         df_map = self.resolve_df(terms)
-        terms = [t for t in terms if df_map[t] > 0]
-        # fewer surviving terms than msm (incl. AND with an unindexed
-        # term): no doc can satisfy the clause count
-        if not terms or len(terms) < msm:
+        # fewer surviving clauses than msm (incl. AND with an unindexed
+        # term or a no-match prefix): no doc can satisfy the clause count
+        if not terms or len(clauses) < msm:
             return spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
         idf_map = {t: idf(n_docs, df_map[t]) for t in terms}
 
         if msm > 1:
-            scorer_fn = functools.partial(_score_shard_msm, msm=msm)
+            cl_arg = None if all(len(c) == 1 for c in clauses) else clauses
+            scorer_fn = functools.partial(_score_shard_msm, msm=msm,
+                                          clauses=cl_arg)
         else:
             scorer = self._pick_scorer(terms, df_map, n_docs, scorer)
             scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
@@ -564,6 +681,7 @@ class BM25Engine:
     def topk_batch(
         self, queries: list[str], k: int = 10, scorer: str = "auto",
         min_should_match: int | str | None = None,
+        max_expansions: int | None = None,
     ) -> DataFrame:
         """Score a BATCH of queries in ONE Spark job (returns (query_id,
         doc_id, score); query_id = position in ``queries``).
@@ -577,22 +695,24 @@ class BM25Engine:
         Queries with no indexed terms return no rows."""
         self._maybe_refresh()
         spark = self.spark
-        tok = TOKENIZERS[self.meta["tokenizer"]]
-        terms_by_q = [sorted(set(tok(q))) for q in queries]
-        all_terms = sorted({t for ts in terms_by_q for t in ts})
-        df_map = self.resolve_df(all_terms) if all_terms else {}
+        clause_plans = [self._plan_clauses(q, max_expansions)
+                        for q in queries]
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
 
         plans: list[tuple[list[str], dict[str, float], object]] = []
-        for ts in terms_by_q:
-            msm = resolve_msm(min_should_match, len(ts))
-            ts = [t for t in ts if df_map.get(t, 0) > 0]
-            if not ts or len(ts) < msm:
+        for clauses, n_clauses in clause_plans:
+            msm = resolve_msm(min_should_match, n_clauses)
+            ts = sorted({t for cl in clauses for t in cl})
+            df_map = self.resolve_df(ts)
+            if not ts or len(clauses) < msm:
                 plans.append(([], {}, None))
                 continue
             idf_map = {t: idf(n_docs, df_map[t]) for t in ts}
             if msm > 1:
-                fn = functools.partial(_score_shard_msm, msm=msm)
+                cl_arg = (None if all(len(c) == 1 for c in clauses)
+                          else clauses)
+                fn = functools.partial(_score_shard_msm, msm=msm,
+                                       clauses=cl_arg)
             else:
                 s = self._pick_scorer(ts, df_map, n_docs, scorer)
                 fn = _score_shard_wand if s == "wand" else _score_shard_dense
@@ -644,10 +764,12 @@ def query_topk(
     k: int = 10,
     scorer: str = "wand",
     min_should_match: int | str | None = None,
+    max_expansions: int | None = None,
 ) -> DataFrame:
     """One-shot top-k BM25 (cold engine) — see BM25Engine for warm reuse."""
     return BM25Engine(spark, index_dir, cache=False).topk(
-        query, k, scorer, min_should_match=min_should_match
+        query, k, scorer, min_should_match=min_should_match,
+        max_expansions=max_expansions,
     )
 
 
@@ -685,12 +807,15 @@ def _score_shard_dense(
     grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
     base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
     dl_arr: np.ndarray | None = None, msm: int = 1,
+    clauses: list[list[str]] | None = None,
 ) -> pd.DataFrame:
     """Exhaustive vectorized scorer: dense accumulator over the shard's
     contiguous docID range (shards ARE docID ranges by construction).
     ``msm`` > 1 adds a parallel match-count accumulator (postings are
     unique per (term, doc) after generation merge, so the count IS the
-    number of distinct matched query terms) and zeroes docs below it."""
+    number of distinct matched query terms) and zeroes docs below it.
+    ``clauses`` groups terms into clauses for the count (a prefix
+    clause's expansions count once per doc however many matched)."""
     postings = _decode_group(grp, base)
     if dl_arr is None:
         dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
@@ -706,8 +831,20 @@ def _score_shard_dense(
         acc[off] += idf_map[term] * bm25_tf_term(
             tfs.astype(np.float64), dl.astype(np.float64), avgdl
         )
-        if cnt is not None:
+        if cnt is not None and clauses is None:
             cnt[off] += 1
+    if cnt is not None and clauses is not None:
+        for cl in clauses:
+            offs = [
+                postings[t][0] - base for t in cl
+                if t in postings and postings[t][0].size
+            ]
+            if not offs:
+                continue
+            u = offs[0] if len(offs) == 1 else np.unique(
+                np.concatenate(offs)
+            )
+            cnt[u] += 1
     if cnt is not None:
         acc[cnt < msm] = 0.0
     if deleted is not None and deleted.size:
@@ -1012,18 +1149,22 @@ def _score_shard_wand(
 def _score_shard_msm(
     grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
     base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
-    msm: int = 2,
+    msm: int = 2, clauses: list[list[str]] | None = None,
 ) -> pd.DataFrame:
     """Conjunctive / minimum-should-match shard scorer via PIGEONHOLE
-    candidate generation: a doc matching >= msm of the query's n terms
+    candidate generation: a doc matching >= msm of the query's n clauses
     present in this shard must appear in at least one of the
-    (n - msm + 1) RAREST posting lists (if it missed all of them it
-    could match at most msm-1 of the remaining). Those lists are decoded
-    fully as the candidate universe; the remaining (hot) lists are
-    probed only at candidate positions via block-lazy ``tf_at`` — an
-    AND of a needle term with a stopword never bulk-decodes the
-    stopword's postings. Scores are exact full BM25 sums over every
-    matched term; the count gate uses distinct matched terms.
+    (n - msm + 1) RAREST clause groups (if it missed all of them it
+    could match at most msm-1 of the remaining). Those groups' member
+    lists are decoded fully as the candidate universe; the remaining
+    (hot) groups are probed only at candidate positions via block-lazy
+    ``tf_at`` — an AND of a needle term with a stopword never
+    bulk-decodes the stopword's postings. Scores are exact full BM25
+    sums over every matched term; the count gate uses distinct matched
+    CLAUSES (``clauses=None``: every term is its own clause; a prefix
+    clause lists its expansions and counts once however many match —
+    clause rarity orders by the sum of member dfs, an upper bound of
+    the union size).
 
     Falls back to the dense counting accumulator when the candidate
     universe approaches the shard size (nothing left to skip) — same
@@ -1037,14 +1178,23 @@ def _score_shard_msm(
     df_by_term: dict[str, int] = {}
     for t, d in zip(term_arr, grp["df"].to_numpy()):
         df_by_term[t] = df_by_term.get(t, 0) + int(d)
-    terms = sorted(df_by_term, key=lambda t: (df_by_term[t], t))
-    if len(terms) < msm:
-        return _empty_topk()  # shard lacks msm of the query's terms
-    n_small = len(terms) - msm + 1
-    small, rest = terms[:n_small], terms[n_small:]
-    if sum(df_by_term[t] for t in small) > 0.33 * dl_arr.size:
+    if clauses is None:
+        groups = [[t] for t in df_by_term]
+    else:
+        groups = [
+            g for g in (
+                [t for t in cl if t in df_by_term] for cl in clauses
+            ) if g
+        ]
+    groups.sort(key=lambda g: (sum(df_by_term[t] for t in g), g[0]))
+    if len(groups) < msm:
+        return _empty_topk()  # shard lacks msm of the query's clauses
+    n_small = len(groups) - msm + 1
+    small, rest = groups[:n_small], groups[n_small:]
+    if sum(df_by_term[t] for g in small for t in g) > 0.33 * dl_arr.size:
         return _score_shard_dense(grp, idf_map, avgdl, k, base, dl_bytes,
-                                  deleted, dl_arr=dl_arr, msm=msm)
+                                  deleted, dl_arr=dl_arr, msm=msm,
+                                  clauses=clauses)
 
     cols = {c: grp[c].to_numpy() for c in (
         "gen", "df", "doc_bytes", "tf_bytes", "block_first",
@@ -1059,19 +1209,31 @@ def _score_shard_msm(
         if not has_offs:
             row["block_doc_off"] = None
         by_term.setdefault(term_arr[i], []).append(row)
-    lazies = {t: _LazyTermPostings(by_term[t], base) for t in terms}
+    lazies = {
+        t: _LazyTermPostings(by_term[t], base)
+        for g in groups for t in g
+    }
 
     parts_d, parts_c = [], []
-    for t in small:
-        docs, tfs = lazies[t].full()
-        if docs.size:
-            parts_d.append(docs)
-            parts_c.append(
-                idf_map[t] * bm25_tf_term(
-                    tfs.astype(np.float64),
-                    dl_arr[docs - base].astype(np.float64), avgdl,
+    small_docs: list[np.ndarray] = []  # per small CLAUSE: unique doc union
+    for g in small:
+        g_docs: list[np.ndarray] = []
+        for t in g:
+            docs, tfs = lazies[t].full()
+            if docs.size:
+                parts_d.append(docs)
+                parts_c.append(
+                    idf_map[t] * bm25_tf_term(
+                        tfs.astype(np.float64),
+                        dl_arr[docs - base].astype(np.float64), avgdl,
+                    )
                 )
-            )
+                g_docs.append(docs)
+        small_docs.append(
+            g_docs[0] if len(g_docs) == 1
+            else np.unique(np.concatenate(g_docs)) if g_docs
+            else np.zeros(0, dtype=np.int64)
+        )
     if not parts_d:
         return _empty_topk()
     docs = np.concatenate(parts_d)
@@ -1080,13 +1242,22 @@ def _score_shard_msm(
     docs, contrib = docs[order], contrib[order]
     cands, starts = np.unique(docs, return_index=True)
     sc = np.add.reduceat(contrib, starts)
-    cnt = np.diff(np.append(starts, docs.size)).astype(np.int64)
+    cnt = np.zeros(cands.size, dtype=np.int64)
+    for dcl in small_docs:
+        if dcl.size:
+            cnt[np.searchsorted(cands, dcl)] += 1
     dl_c = dl_arr[cands - base].astype(np.float64)
-    for t in rest:
-        vals, hit = lazies[t].tf_at(cands)
-        if hit.any():
-            sc[hit] += idf_map[t] * bm25_tf_term(vals[hit], dl_c[hit], avgdl)
-            cnt[hit] += 1
+    for g in rest:
+        g_hit = np.zeros(cands.size, dtype=bool)
+        for t in g:
+            vals, hit = lazies[t].tf_at(cands)
+            if hit.any():
+                sc[hit] += idf_map[t] * bm25_tf_term(
+                    vals[hit], dl_c[hit], avgdl
+                )
+                g_hit |= hit
+        if g_hit.any():
+            cnt[g_hit] += 1
     keep = cnt >= msm
     if deleted is not None and deleted.size:
         keep &= ~np.isin(cands, deleted)

@@ -33,25 +33,44 @@ class OracleIndex:
     def query(
         self, query: str, k: int = 10,
         min_should_match: int | str | None = None,
+        max_expansions: int = 50,
     ) -> list[tuple[int, float]]:
-        from data_prep_opensearch_spark.operators.bm25 import resolve_msm
+        """Same clause semantics as the engine: a literal term is one
+        clause; a trailing-``*`` chunk is one PREFIX clause expanded to
+        its (df-ranked, capped) dictionary matches, scored per expansion
+        but counting once toward min_should_match."""
+        from data_prep_opensearch_spark.operators.bm25 import (
+            parse_query,
+            resolve_msm,
+        )
 
-        terms = sorted(set(TOKENIZERS[self.tokenizer](query)))
-        msm = resolve_msm(min_should_match, len(terms))
+        tok = TOKENIZERS[self.tokenizer]
+        literals, prefixes = parse_query(query, tok)
+        clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
+        for stem in sorted(set(prefixes)):
+            exp = sorted(
+                ((t, self.df[t]) for t in self.postings
+                 if t.startswith(stem)),
+                key=lambda x: (-x[1], x[0]),
+            )[:max_expansions]
+            clauses.append([t for t, _ in exp])
+        msm = resolve_msm(min_should_match, len(clauses))
+        terms = sorted({t for cl in clauses for t in cl})
         scores: dict[int, float] = {}
-        nmatch: dict[int, int] = {}
+        matched: dict[int, set[int]] = {}
         for t in terms:
             plist = self.postings.get(t)
             if not plist:
                 continue
             w = idf(self.n_docs, self.df[t])
+            cids = [ci for ci, cl in enumerate(clauses) if t in cl]
             for d, tf in plist:
                 scores[d] = scores.get(d, 0.0) + w * bm25_tf_term(
                     float(tf), float(self.doclen[d]), self.avgdl
                 )
-                nmatch[d] = nmatch.get(d, 0) + 1
+                matched.setdefault(d, set()).update(cids)
         ranked = sorted(
-            ((d, s) for d, s in scores.items() if nmatch[d] >= msm),
+            ((d, s) for d, s in scores.items() if len(matched[d]) >= msm),
             key=lambda x: (-x[1], x[0]),
         )
         return ranked[:k]

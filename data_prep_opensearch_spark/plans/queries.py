@@ -306,6 +306,101 @@ def ft_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_topk_to_external(topk, spark, index_dir)
 
 
+def _bm25_prefix_sql(literals: list[str], stem: str, cap: int, k: int,
+                     msm: int = 1) -> str:
+    """BM25 with one PREFIX clause: the stem expands to its top-``cap``
+    dictionary terms by df (ties term-asc) — exactly the engine's
+    ``expand_prefix`` rule — scored as a scoring-boolean. The msm gate
+    counts CLAUSES: every literal is its own clause, the whole
+    expansion set is one (count(DISTINCT clause))."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    lit_list = ", ".join(f"'{t}'" for t in sorted(set(literals)))
+    gate = f"WHERE nclause.nc >= {msm}" if msm > 1 else ""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    exp AS (
+      SELECT term FROM dft WHERE term LIKE '{stem}%'
+      ORDER BY df DESC, term ASC LIMIT {cap}
+    ),
+    q AS (
+      SELECT term, term AS clause FROM (SELECT unnest([{lit_list}]) AS term)
+      UNION ALL
+      SELECT term, 'prefix:{stem}' AS clause FROM exp
+    ),
+    qd AS (SELECT DISTINCT term FROM q),
+    nclause AS (
+      SELECT tf.doc_id, count(DISTINCT q.clause) AS nc
+      FROM tf JOIN q ON tf.term = q.term GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             round(sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ), 4) AS score
+      FROM tf
+      JOIN qd ON tf.term = qd.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT scored.doc_id AS doc_id, scored.score AS score
+    FROM scored JOIN nclause ON scored.doc_id = nclause.doc_id
+    {gate}
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_prefix_topk",
+    _bm25_prefix_sql(["key"], "s", 4, BM25_K),
+    covers=["O7 prefix (trailing-*) multi-term query, df-ranked "
+            "max_expansions cap, dictionary range-scan expansion"],
+)
+def ft_bm25_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix clause on the SEGMENT ENGINE: `key s*` expands `s*` against
+    the term dictionary (one filtered aggregate over the term-sorted
+    segment files — StringStartsWith pushes to the parquet scan), keeps
+    the top-4 expansions by df (ties term-asc; sort/spark are dropped at
+    this corpus), and scores the union as a scoring-boolean. Oracle
+    mirrors the expansion rule with LIKE + ORDER BY df DESC LIMIT."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(spark, index_dir, "key s*", BM25_K, max_expansions=4)
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
+@register(
+    "ft_bm25_prefix_and_topk",
+    _bm25_prefix_sql(["key"], "s", 4, BM25_K, msm=2),
+    covers=["O7 prefix clause under min_should_match: the expansion set "
+            "counts ONCE toward the clause gate (Lucene semantics)"],
+)
+def ft_bm25_prefix_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`key s*` with min_should_match="all": a doc must contain `key` AND
+    at least one capped expansion of `s*` — the prefix clause counts once
+    however many expansions match. Routed to the clause-general pigeonhole
+    scorer (candidates from the rarer clause group's union)."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(spark, index_dir, "key s*", BM25_K,
+                      min_should_match="all", max_expansions=4)
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
 def _latest_prune_sql(terms: list[str], k: int) -> str:
     from data_prep_opensearch_spark.operators.bm25 import B, K1
 

@@ -373,3 +373,127 @@ def test_topk_batch_msm_parity(spark, built_index):
         assert [d_ for d_, _ in got] == [d_ for d_, _ in single], (qi, q)
         for (gd, gs), (sd, ss) in zip(got, single):
             assert abs(gs - ss) <= 1e-12, (qi, q, gd, gs, ss)
+
+
+# ---------------------------------------------------------------------------
+# prefix (trailing-*) queries
+# ---------------------------------------------------------------------------
+
+def _prefix_query_set():
+    """Prefix clauses across the interesting shapes: narrow and wide
+    stems, prefix+literal mixes, two prefix clauses (needle* also
+    exercises the df-ranked max_expansions cap: 64 needles > 50), and
+    no-match stems."""
+    return [
+        "needle1*",            # expands to needle1, needle10..needle19
+        "sym*",
+        "fn* return",          # prefix + hot literal
+        "needle* sym*",        # two prefix clauses; needle* hits the cap
+        "zzzz* needle0",       # no-match prefix + literal (OR: literal only)
+        "zzzz*",               # no-match prefix alone -> empty
+    ]
+
+
+def test_topk_prefix_parity_vs_oracle(spark, built_index, oracle_index):
+    """Engine prefix expansion must be rank- and score-identical to the
+    exhaustive oracle on BOTH the distributed and the driver-local tier."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    for q in _prefix_query_set():
+        expected = oracle_index.query(q, 10)
+        for tier, rows in (
+            ("topk", eng.topk(q, 10).collect()),
+            ("local", eng.topk_local(q, 10).collect()),
+        ):
+            got = [(r["doc_id"], r["score"]) for r in rows]
+            assert len(got) == len(expected), (tier, q, got, expected)
+            for (gd, gs), (ed, es) in zip(got, expected):
+                assert gd == ed, (tier, q, got, expected)
+                assert abs(gs - es) <= 1e-9, (tier, q, gd, gs, es)
+
+
+def test_topk_batch_prefix_parity(spark, built_index, oracle_index):
+    qs = _prefix_query_set()
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    rows = eng.topk_batch(qs, 10).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["doc_id"], r["score"])
+        )
+    for qi, q in enumerate(qs):
+        expected = oracle_index.query(q, 10)
+        got = sorted(by_q.get(qi, []), key=lambda x: (-x[1], x[0]))
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in expected], (qi, q)
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert abs(gs - es) <= 1e-9, (qi, q, gd, gs, es)
+
+
+def test_prefix_max_expansions_cap(spark, built_index, oracle_index):
+    """A tight cap keeps only the highest-df expansions (ties to the
+    lexicographically first term) — identical on engine and oracle."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    for cap in (1, 3):
+        expected = oracle_index.query("sym*", 10, max_expansions=cap)
+        got = [(r["doc_id"], r["score"])
+               for r in eng.topk("sym*", 10, max_expansions=cap).collect()]
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in expected], cap
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert abs(gs - es) <= 1e-9, (cap, gd, gs, es)
+        # the capped expansion list itself is the df-ranked head
+        full = [t for t, _ in eng.expand_prefix("sym")]
+        capped = [t for t, _ in eng.expand_prefix("sym", cap)]
+        assert capped == full[:cap]
+
+
+def test_prefix_msm_counts_clause_once(spark, built_index, oracle_index):
+    """Under min_should_match a prefix clause counts ONCE however many
+    of its expansions a doc matches (Lucene clause semantics): engine ==
+    oracle for m-of-n mixes of literal and prefix clauses, on all tiers."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    cases = [
+        ("needle0 sym*", "all"),     # literal AND any-sym
+        ("needle0 fn3 sym*", 2),     # 2 of 3 clauses
+        ("needle* sym*", "all"),     # two prefix clauses, both must hit
+        ("zzzz* needle0", "all"),    # no-match prefix clause -> empty
+    ]
+    for q, msm in cases:
+        expected = oracle_index.query(q, 10, min_should_match=msm)
+        for tier, rows in (
+            ("topk", eng.topk(q, 10, min_should_match=msm).collect()),
+            ("local", eng.topk_local(q, 10, min_should_match=msm).collect()),
+        ):
+            got = [(r["doc_id"], r["score"]) for r in rows]
+            assert len(got) == len(expected), (tier, q, msm, got, expected)
+            for (gd, gs), (ed, es) in zip(got, expected):
+                assert gd == ed, (tier, q, msm, got, expected)
+                assert abs(gs - es) <= 1e-9, (tier, q, msm, gd, gs, es)
+
+
+def test_parse_query_shapes():
+    """parse_query: trailing-* chunks become prefix stems through the
+    tokenizer (a compound stem keeps its leading tokens literal); '*'
+    alone and empty stems are dropped; everything else tokenizes
+    wholesale."""
+    from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+    from data_prep_opensearch_spark.operators.bm25 import parse_query
+
+    lits, prefs = parse_query("foo bar*", TOKENIZERS["simple"])
+    assert lits == ["foo"] and prefs == ["bar"]
+    lits, prefs = parse_query("data.pre* plain", TOKENIZERS["code"])
+    assert prefs == ["pre"] and "data" in lits and "plain" in lits
+    lits, prefs = parse_query("* foo", TOKENIZERS["simple"])
+    assert lits == ["foo"] and prefs == []
+    lits, prefs = parse_query("FOO*", TOKENIZERS["simple"])
+    assert lits == [] and prefs == ["foo"]
