@@ -62,30 +62,46 @@ def bm25_upper_bound(idf_t: float, max_tf: int, min_dl: int, avgdl: float) -> fl
     return idf_t * bm25_tf_term(float(max_tf), float(min_dl), avgdl)
 
 
-def parse_query(query: str, tok) -> tuple[list[str], list[str]]:
-    """Split a query string into (literal terms, prefix stems).
+def parse_query(
+    query: str, tok
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Split a query string into (literal terms, prefix stems,
+    negated literals, negated prefix stems).
 
     A whitespace chunk ending in ``*`` is a PREFIX clause: its stem is
     run through the tokenizer, the last produced token becomes the
     prefix stem and any earlier ones (e.g. the ``foo`` of ``foo.bar*``
-    under the 'code' tokenizer) stay literal. Everything else is
-    tokenized wholesale (the tokenizers are regex-findall, so joining
-    chunks with a space is lossless).
+    under the 'code' tokenizer) stay literal. A chunk starting with
+    ``-`` is a MUST_NOT clause (Lucene bool must_not): every token it
+    produces joins the exclusion set (its trailing-``*`` form negates
+    the stem's expansions). Everything else is tokenized wholesale
+    (the tokenizers are regex-findall, so joining chunks with a space
+    is lossless).
     """
     literals: list[str] = []
     prefixes: list[str] = []
+    neg_literals: list[str] = []
+    neg_prefixes: list[str] = []
     plain: list[str] = []
     for chunk in query.split():
-        if chunk.endswith("*") and len(chunk) > 1:
-            stem_tokens = tok(chunk[:-1])
+        neg = chunk.startswith("-") and len(chunk) > 1
+        body = chunk[1:] if neg else chunk
+        if body.endswith("*") and len(body) > 1:
+            stem_tokens = tok(body[:-1])
             if not stem_tokens:
                 continue
-            literals.extend(stem_tokens[:-1])
-            prefixes.append(stem_tokens[-1])
+            if neg:
+                neg_literals.extend(stem_tokens[:-1])
+                neg_prefixes.append(stem_tokens[-1])
+            else:
+                literals.extend(stem_tokens[:-1])
+                prefixes.append(stem_tokens[-1])
+        elif neg:
+            neg_literals.extend(tok(body))
         else:
             plain.append(chunk)
     literals.extend(tok(" ".join(plain)))
-    return literals, prefixes
+    return literals, prefixes, neg_literals, neg_prefixes
 
 
 def resolve_msm(msm, n_terms: int) -> int:
@@ -360,29 +376,38 @@ class BM25Engine:
 
     def _plan_clauses(
         self, query: str, max_expansions: int | None = None
-    ) -> tuple[list[list[str]], int]:
+    ) -> tuple[list[list[str]], int, list[str]]:
         """Parse a query into CLAUSES: each literal term is one clause;
         each `stem*` prefix is ONE clause whose members are its (capped)
         dictionary expansions — so under min_should_match a prefix counts
         once no matter how many of its expansions a document matches
-        (Lucene/ES clause semantics). Returns (clauses-with-df>0-members,
-        n_clauses-before-df-filtering) — msm resolves against the latter,
-        so an AND query with an unindexed literal or a no-match prefix is
-        unsatisfiable, matching the literal-terms path."""
+        (Lucene/ES clause semantics). ``-``-prefixed chunks build the
+        MUST_NOT exclusion set (negated stems expand under the same
+        cap); must_not clauses never count toward msm and never score.
+        Returns (clauses-with-df>0-members, n_clauses-before-df-
+        filtering, exclusion terms) — msm resolves against n_clauses,
+        so an AND query with an unindexed literal or a no-match prefix
+        is unsatisfiable, matching the literal-terms path."""
         tok = TOKENIZERS[self.meta["tokenizer"]]
-        literals, prefixes = parse_query(query, tok)
+        literals, prefixes, neg_lit, neg_pre = parse_query(query, tok)
         clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
         for stem in sorted(set(prefixes)):
             clauses.append(
                 [t for t, _ in self.expand_prefix(stem, max_expansions)]
             )
+        negs: set[str] = set(neg_lit)
+        for stem in sorted(set(neg_pre)):
+            negs.update(
+                t for t, _ in self.expand_prefix(stem, max_expansions)
+            )
         n_clauses = len(clauses)
-        flat = sorted({t for cl in clauses for t in cl})
+        flat = sorted({t for cl in clauses for t in cl} | negs)
         df_map = self.resolve_df(flat)
         kept = [
             [t for t in cl if df_map[t] > 0] for cl in clauses
         ]
-        return [cl for cl in kept if cl], n_clauses
+        return ([cl for cl in kept if cl], n_clauses,
+                sorted(t for t in negs if df_map[t] > 0))
 
     @staticmethod
     def _pick_scorer(terms: list[str], df_map: dict[str, int],
@@ -446,14 +471,16 @@ class BM25Engine:
                 return pdf.reset_index(drop=True)
             return spark.createDataFrame(pdf, TOPK_SCHEMA)
 
-        clauses, n_clauses = self._plan_clauses(query, max_expansions)
+        clauses, n_clauses, negs = self._plan_clauses(query, max_expansions)
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
-        df_map = self.resolve_df(terms)
+        df_map = self.resolve_df(terms + negs)
         if not terms or len(clauses) < msm:
             return _out(_empty_topk())
         cap = self.LOCAL_MAX_POSTINGS if max_postings is None else max_postings
-        if sum(df_map[t] for t in terms) > cap:
+        # exclusion postings are pulled to the driver too — they count
+        # against the same posting-mass guard
+        if sum(df_map[t] for t in terms + negs) > cap:
             dist = self.topk(query, k, scorer, min_should_match=msm,
                              max_expansions=max_expansions)
             return dist.toPandas() if as_pandas else dist
@@ -465,7 +492,7 @@ class BM25Engine:
         # sort/reduce — no per-shard loop, no pandas machinery (the
         # per-shard kernel path measured ~90 small scorer calls and 18k
         # redundant dl decodes per query at 128 shards).
-        missing = [t for t in terms if t not in self._local_flat]
+        missing = [t for t in terms + negs if t not in self._local_flat]
         if missing:
             rows = [
                 r.asDict()
@@ -531,7 +558,9 @@ class BM25Engine:
                 # evict down to THIS query's working set: its terms'
                 # flat arrays AND the sidecars of the shards they touch
                 # (derived from docIDs: shard = doc // shard_width)
-                self._local_flat = {t: self._local_flat[t] for t in terms}
+                self._local_flat = {
+                    t: self._local_flat[t] for t in set(terms) | set(negs)
+                }
                 width = int(self.meta["shard_width"])
                 kept_shards: set[int] = set()
                 for docs_t, _, _ in self._local_flat.values():
@@ -601,6 +630,15 @@ class BM25Engine:
                     )
                     nmatch[np.searchsorted(uniq, dcl)] += 1
             uniq, scores = uniq[nmatch >= msm], scores[nmatch >= msm]
+        if negs:
+            ps = [self._local_flat[t][0] for t in negs
+                  if t in self._local_flat and self._local_flat[t][0].size]
+            if ps:
+                excl = ps[0] if len(ps) == 1 else np.unique(
+                    np.concatenate(ps)
+                )
+                alive = ~np.isin(uniq, excl)
+                uniq, scores = uniq[alive], scores[alive]
         if self._local_deleted.size:
             alive = ~np.isin(uniq, self._local_deleted, assume_unique=True)
             uniq, scores = uniq[alive], scores[alive]
@@ -631,12 +669,14 @@ class BM25Engine:
         fallback when nothing is skippable."""
         self._maybe_refresh()
         spark = self.spark
-        clauses, n_clauses = self._plan_clauses(query, max_expansions)
+        clauses, n_clauses, negs = self._plan_clauses(query, max_expansions)
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
         df_map = self.resolve_df(terms)
         # fewer surviving clauses than msm (incl. AND with an unindexed
-        # term or a no-match prefix): no doc can satisfy the clause count
+        # term or a no-match prefix): no doc can satisfy the clause
+        # count. A pure-negative query has no positive clause to
+        # generate candidates (Lucene bool with only must_not) -> empty.
         if not terms or len(clauses) < msm:
             return spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
@@ -650,7 +690,7 @@ class BM25Engine:
             scorer = self._pick_scorer(terms, df_map, n_docs, scorer)
             scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
 
-        seg = self.seg.filter(F.col("term").isin(terms))
+        seg = self.seg.filter(F.col("term").isin(terms + negs))
         if not self._shard_partitioned:
             # cold path: co-locate each shard's rows (the filtered set is
             # tiny — <= |terms| rows per shard — so this shuffle is cheap)
@@ -662,6 +702,7 @@ class BM25Engine:
         # (thousands of shards x ~MB dl_bytes) it falls back to a join on
         # the two caches' SHARED hash partitioning — still exchange-free.
         seg = seg.join(self.sidecar, "shard", "inner")
+        neg_set = set(negs)
 
         def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # a shard's rows can span Arrow batches: consume the WHOLE
@@ -673,6 +714,11 @@ class BM25Engine:
             pdf = pd.concat(chunks, ignore_index=True)
             for shard, grp in pdf.groupby("shard"):
                 base, dl_bytes, deleted = _sidecar_of(grp)
+                if neg_set:
+                    grp, deleted = _apply_must_not(grp, neg_set, base,
+                                                   deleted)
+                    if grp is None:
+                        continue
                 yield scorer_fn(grp, idf_map, avgdl, k, base, dl_bytes, deleted)
 
         local = seg.mapInPandas(score_partition, TOPK_SCHEMA)
@@ -699,13 +745,13 @@ class BM25Engine:
                         for q in queries]
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
 
-        plans: list[tuple[list[str], dict[str, float], object]] = []
-        for clauses, n_clauses in clause_plans:
+        plans: list[tuple[list[str], dict[str, float], object, list[str]]] = []
+        for clauses, n_clauses, negs in clause_plans:
             msm = resolve_msm(min_should_match, n_clauses)
             ts = sorted({t for cl in clauses for t in cl})
             df_map = self.resolve_df(ts)
             if not ts or len(clauses) < msm:
-                plans.append(([], {}, None))
+                plans.append(([], {}, None, []))
                 continue
             idf_map = {t: idf(n_docs, df_map[t]) for t in ts}
             if msm > 1:
@@ -716,11 +762,15 @@ class BM25Engine:
             else:
                 s = self._pick_scorer(ts, df_map, n_docs, scorer)
                 fn = _score_shard_wand if s == "wand" else _score_shard_dense
-            plans.append((ts, idf_map, fn))
+            plans.append((ts, idf_map, fn, negs))
 
-        union_terms = sorted({t for ts, _, _ in plans for t in ts})
-        if not union_terms:
+        union_terms = sorted(
+            {t for ts, _, _, ns in plans for t in ts}
+            | {t for _, _, _, ns in plans for t in ns}
+        )
+        if not any(ts for ts, _, _, _ in plans):
             return spark.createDataFrame([], BATCH_TOPK_SCHEMA)
+        all_negs = {t for _, _, _, ns in plans for t in ns}
         seg = self.seg.filter(F.col("term").isin(union_terms))
         if not self._shard_partitioned:
             seg = seg.repartition(F.col("shard"))
@@ -733,13 +783,31 @@ class BM25Engine:
             pdf = pd.concat(chunks, ignore_index=True)
             for shard, grp in pdf.groupby("shard"):
                 base, dl_bytes, deleted = _sidecar_of(grp)
-                for qi, (ts, idf_map, fn) in enumerate(plans):
+                # decode the shard's exclusion postings ONCE for every
+                # query in the batch, union per query below
+                neg_docs: dict[str, np.ndarray] = {}
+                if all_negs:
+                    neg_rows = grp[grp["term"].isin(all_negs)]
+                    if len(neg_rows):
+                        neg_docs = {
+                            t: d for t, (d, _) in
+                            _decode_group(neg_rows, base).items()
+                        }
+                for qi, (ts, idf_map, fn, negs_q) in enumerate(plans):
                     if not ts:
                         continue
                     sub = grp[grp["term"].isin(ts)]
                     if sub.empty:
                         continue
-                    out = fn(sub, idf_map, avgdl, k, base, dl_bytes, deleted)
+                    del_q = deleted
+                    ps = [neg_docs[t] for t in negs_q
+                          if t in neg_docs and neg_docs[t].size]
+                    if ps:
+                        excl = (ps[0] if len(ps) == 1
+                                else np.unique(np.concatenate(ps)))
+                        del_q = (excl if del_q is None or not del_q.size
+                                 else np.union1d(del_q, excl))
+                    out = fn(sub, idf_map, avgdl, k, base, dl_bytes, del_q)
                     if len(out):
                         out.insert(0, "query_id", np.int32(qi))
                         yield out
@@ -801,6 +869,31 @@ def _decode_group(grp: pd.DataFrame, base: int) -> dict[str, tuple[np.ndarray, n
             docs, tfs = merge_posting_runs([out[t], (docs, tfs)])
         out[t] = (docs, tfs)
     return out
+
+
+def _apply_must_not(
+    grp: pd.DataFrame, neg_set: set[str], base: int,
+    deleted: np.ndarray | None,
+) -> tuple[pd.DataFrame | None, np.ndarray | None]:
+    """Split off a shard's must_not rows and fold their matched docs
+    into the tombstone mask: exclusion docs ARE per-query tombstones,
+    and every scorer already honors ``deleted`` — so exclusion happens
+    BEFORE top-k selection (a masked doc is replaced by the next-best,
+    never silently dropped from a shorter result). Returns (positive
+    rows or None if the shard has none, merged deleted array)."""
+    is_neg = grp["term"].isin(neg_set).to_numpy()
+    if is_neg.any():
+        nd = _decode_group(grp[is_neg], base)
+        parts = [d for d, _ in nd.values() if d.size]
+        if parts:
+            excl = (parts[0] if len(parts) == 1
+                    else np.unique(np.concatenate(parts)))
+            deleted = (excl if deleted is None or not deleted.size
+                       else np.union1d(deleted, excl))
+        grp = grp[~is_neg]
+    if len(grp) == 0:
+        return None, deleted
+    return grp, deleted
 
 
 def _score_shard_dense(

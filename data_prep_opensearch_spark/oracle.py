@@ -45,15 +45,25 @@ class OracleIndex:
         )
 
         tok = TOKENIZERS[self.tokenizer]
-        literals, prefixes = parse_query(query, tok)
-        clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
-        for stem in sorted(set(prefixes)):
+        literals, prefixes, neg_lit, neg_pre = parse_query(query, tok)
+
+        def _expand(stem: str) -> list[str]:
             exp = sorted(
                 ((t, self.df[t]) for t in self.postings
                  if t.startswith(stem)),
                 key=lambda x: (-x[1], x[0]),
             )[:max_expansions]
-            clauses.append([t for t, _ in exp])
+            return [t for t, _ in exp]
+
+        clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
+        for stem in sorted(set(prefixes)):
+            clauses.append(_expand(stem))
+        negs: set[str] = set(neg_lit)
+        for stem in sorted(set(neg_pre)):
+            negs.update(_expand(stem))
+        excluded: set[int] = set()
+        for t in negs:
+            excluded.update(d for d, _ in self.postings.get(t, []))
         msm = resolve_msm(min_should_match, len(clauses))
         terms = sorted({t for cl in clauses for t in cl})
         scores: dict[int, float] = {}
@@ -70,7 +80,8 @@ class OracleIndex:
                 )
                 matched.setdefault(d, set()).update(cids)
         ranked = sorted(
-            ((d, s) for d, s in scores.items() if len(matched[d]) >= msm),
+            ((d, s) for d, s in scores.items()
+             if len(matched[d]) >= msm and d not in excluded),
             key=lambda x: (-x[1], x[0]),
         )
         return ranked[:k]

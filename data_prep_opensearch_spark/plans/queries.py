@@ -362,6 +362,66 @@ def _bm25_prefix_sql(literals: list[str], stem: str, cap: int, k: int,
     """
 
 
+def _bm25_not_sql(literals: list[str], neg_stem: str, cap: int,
+                  k: int) -> str:
+    """BM25 with a MUST_NOT prefix clause: positives score normally; any
+    doc matching one of the negated stem's (df-ranked, capped)
+    expansions is excluded BEFORE the top-k cut."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    lit_list = ", ".join(f"'{t}'" for t in sorted(set(literals)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    negexp AS (
+      SELECT term FROM dft WHERE term LIKE '{neg_stem}%'
+      ORDER BY df DESC, term ASC LIMIT {cap}
+    ),
+    excl AS (SELECT DISTINCT tf.doc_id FROM tf JOIN negexp ON tf.term = negexp.term),
+    q AS (SELECT unnest([{lit_list}]) AS term)
+    SELECT tf.doc_id AS doc_id,
+           round(sum(
+             ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+           ), 4) AS score
+    FROM tf
+    JOIN q ON tf.term = q.term
+    JOIN dft ON tf.term = dft.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    WHERE tf.doc_id NOT IN (SELECT doc_id FROM excl)
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_not_topk",
+    _bm25_not_sql(["key", "merge"], "s", 4, BM25_K),
+    covers=["O7 must_not (-term / -stem*) exclusion clause: per-query "
+            "tombstone masking before the top-k cut"],
+)
+def ft_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`key merge -s*` on the SEGMENT ENGINE: docs matching any capped
+    expansion of `s*` are folded into the per-shard tombstone mask, so
+    exclusion happens before top-k selection on every scorer (a masked
+    doc is replaced by the next-best, never silently dropped)."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(spark, index_dir, "key merge -s*", BM25_K,
+                      max_expansions=4)
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
 @register(
     "ft_bm25_prefix_topk",
     _bm25_prefix_sql(["key"], "s", 4, BM25_K),

@@ -483,17 +483,119 @@ def test_prefix_msm_counts_clause_once(spark, built_index, oracle_index):
 
 def test_parse_query_shapes():
     """parse_query: trailing-* chunks become prefix stems through the
-    tokenizer (a compound stem keeps its leading tokens literal); '*'
-    alone and empty stems are dropped; everything else tokenizes
-    wholesale."""
+    tokenizer (a compound stem keeps its leading tokens literal);
+    '-'-prefixed chunks feed the must_not sets; '*' alone and empty
+    stems are dropped; everything else tokenizes wholesale."""
     from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
     from data_prep_opensearch_spark.operators.bm25 import parse_query
 
-    lits, prefs = parse_query("foo bar*", TOKENIZERS["simple"])
-    assert lits == ["foo"] and prefs == ["bar"]
-    lits, prefs = parse_query("data.pre* plain", TOKENIZERS["code"])
+    lits, prefs, nl, np_ = parse_query("foo bar*", TOKENIZERS["simple"])
+    assert lits == ["foo"] and prefs == ["bar"] and nl == [] and np_ == []
+    lits, prefs, nl, np_ = parse_query("data.pre* plain", TOKENIZERS["code"])
     assert prefs == ["pre"] and "data" in lits and "plain" in lits
-    lits, prefs = parse_query("* foo", TOKENIZERS["simple"])
+    lits, prefs, nl, np_ = parse_query("* foo", TOKENIZERS["simple"])
     assert lits == ["foo"] and prefs == []
-    lits, prefs = parse_query("FOO*", TOKENIZERS["simple"])
+    lits, prefs, nl, np_ = parse_query("FOO*", TOKENIZERS["simple"])
     assert lits == [] and prefs == ["foo"]
+    lits, prefs, nl, np_ = parse_query("foo -bar -baz*", TOKENIZERS["simple"])
+    assert lits == ["foo"] and prefs == []
+    assert nl == ["bar"] and np_ == ["baz"]
+    # '-' alone is not a negation marker; a negated compound under the
+    # code tokenizer negates every produced token
+    lits, prefs, nl, np_ = parse_query("- -a.b* x", TOKENIZERS["code"])
+    assert "x" in lits and nl == ["a"] and np_ == ["b"]
+
+
+
+# ---------------------------------------------------------------------------
+# must_not (-term / -stem*) clauses
+# ---------------------------------------------------------------------------
+
+def _must_not_query_set():
+    return [
+        "needle0 -import",          # needle kept only where import absent
+        "sym* -needle1*",           # prefix positives, prefix exclusion
+        "import -def",              # hot positive, hot exclusion
+        "needle0 -zzz_absent",      # unindexed exclusion = no-op
+        "-import",                  # pure negative -> empty (no candidates)
+        "needle0 needle2 -needle0", # term both positive and negative
+    ]
+
+
+def test_topk_must_not_parity_vs_oracle(spark, built_index, oracle_index):
+    """Exclusion (must_not) is applied BEFORE top-k selection — masked
+    docs are replaced by next-best, identically to the oracle, on both
+    the distributed and driver-local tiers."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    for q in _must_not_query_set():
+        expected = oracle_index.query(q, 10)
+        for tier, rows in (
+            ("topk", eng.topk(q, 10).collect()),
+            ("local", eng.topk_local(q, 10).collect()),
+        ):
+            got = [(r["doc_id"], r["score"]) for r in rows]
+            assert len(got) == len(expected), (tier, q, got, expected)
+            for (gd, gs), (ed, es) in zip(got, expected):
+                assert gd == ed, (tier, q, got, expected)
+                assert abs(gs - es) <= 1e-9, (tier, q, gd, gs, es)
+
+
+def test_topk_batch_must_not_parity(spark, built_index, oracle_index):
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    qs = _must_not_query_set()
+    rows = eng.topk_batch(qs, 10).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["doc_id"], r["score"])
+        )
+    for qi, q in enumerate(qs):
+        expected = oracle_index.query(q, 10)
+        got = sorted(by_q.get(qi, []), key=lambda x: (-x[1], x[0]))
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in expected], (qi, q)
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert abs(gs - es) <= 1e-9, (qi, q, gd, gs, es)
+
+
+def test_must_not_with_msm_parity(spark, built_index, oracle_index):
+    """must_not composes with min_should_match: the clause count gates
+    positives only, exclusion applies on top."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    cases = [
+        ("needle0 fn3 -import", 2),
+        ("needle0 sym* -def", "all"),
+        ("fn3 sym7 return -class", 2),
+    ]
+    for q, msm in cases:
+        expected = oracle_index.query(q, 10, min_should_match=msm)
+        for tier, rows in (
+            ("topk", eng.topk(q, 10, min_should_match=msm).collect()),
+            ("local", eng.topk_local(q, 10, min_should_match=msm).collect()),
+        ):
+            got = [(r["doc_id"], r["score"]) for r in rows]
+            assert len(got) == len(expected), (tier, q, msm, got, expected)
+            for (gd, gs), (ed, es) in zip(got, expected):
+                assert gd == ed, (tier, q, msm, got, expected)
+                assert abs(gs - es) <= 1e-9, (tier, q, msm, gd, gs, es)
+
+
+def test_must_not_excludes_every_match(spark, built_index, oracle_index):
+    """Semantic spot-check independent of the oracle implementation: no
+    result of `import -def` may contain `def`."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    got = {r["doc_id"] for r in eng.topk("import -def", 50).collect()}
+    assert got, "query should still match docs with import but no def"
+    def_docs = {d_ for d_, _ in oracle_index.postings.get("def", [])}
+    assert not (got & def_docs)
