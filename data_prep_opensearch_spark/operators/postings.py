@@ -181,6 +181,75 @@ def decode_posting_list(
     return doc_ids, tfs
 
 
+def encode_positions(pos: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode a flat token-position stream for one posting list.
+
+    ``pos`` holds the within-document token positions of every occurrence,
+    posting-major (all occurrences of posting 0, then posting 1, ...);
+    ``tfs`` gives the occurrence count per posting, so
+    ``len(pos) == tfs.sum()``. Positions are sorted ascending within each
+    posting; deltas within a posting are >= 0 (0 happens only for
+    tokenizers that emit several tokens at one position, e.g. the code
+    tokenizer's sub-tokens at their parent identifier's position). The
+    first occurrence of each posting is stored absolute, the rest as
+    deltas — the classic Lucene .prx layout, re-expressed for the VByte
+    wire format.
+    """
+    p = np.ascontiguousarray(pos, dtype=np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    if p.shape[0] == 0:
+        return b""
+    if p.shape[0] != int(t.sum()):
+        raise ValueError("len(pos) must equal tfs.sum()")
+    deltas = p.copy()
+    deltas[1:] -= p[:-1]
+    starts = np.cumsum(t) - t
+    deltas[starts] = p[starts]
+    if (deltas < 0).any():
+        raise ValueError("positions must be sorted ascending within a posting")
+    return vbyte_encode(deltas.astype(np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` — returns the flat absolute
+    position stream (posting-major, ``tfs.sum()`` entries)."""
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    deltas = vbyte_decode(buf).astype(np.int64)
+    if deltas.shape[0] == 0:
+        return np.zeros(0, dtype=np.int64)
+    if deltas.shape[0] != int(t.sum()):
+        raise ValueError("pos/tf length mismatch")
+    cs = np.cumsum(deltas)
+    ends = np.cumsum(t)
+    starts = ends - t
+    before = np.where(starts > 0, cs[starts - 1], 0)
+    return cs - np.repeat(before, t)
+
+
+def gather_token_runs(idx: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Token-level gather indices for a POSTING-level permutation/selection.
+
+    Given ``idx`` (indices into the original posting array, in output
+    order) and the ORIGINAL per-posting token counts ``tfs``, returns the
+    flat token indices that pull each selected posting's occurrence run
+    (contiguous in the original token stream) into output order — the
+    variable-length-run gather used to keep position streams aligned
+    through posting re-sorts and last-wins merges.
+    """
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    tok_start = np.cumsum(t) - t
+    sel_t = t[idx]
+    total = int(sel_t.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    out_start = np.cumsum(sel_t) - sel_t
+    return (
+        np.repeat(tok_start[idx], sel_t)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(out_start, sel_t)
+    )
+
+
 def merge_posting_runs(
     runs: list[tuple[np.ndarray, np.ndarray]],
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -203,3 +272,25 @@ def merge_posting_runs(
         keep = np.concatenate((docs[1:] != docs[:-1], [True]))
         docs, tfs = docs[keep], tfs[keep]
     return docs, tfs
+
+
+def merge_posting_runs_with_pos(
+    runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`merge_posting_runs` for positional runs — each run is
+    (doc_ids, tfs, flat positions); the surviving posting's position run
+    follows it through the last-wins merge via a token-level gather."""
+    if not runs:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy()
+    docs = np.concatenate([r[0] for r in runs])
+    tfs = np.concatenate([r[1] for r in runs])
+    pos = np.concatenate([r[2] for r in runs])
+    order = np.argsort(docs, kind="stable")
+    if docs.shape[0] > 1:
+        ds = docs[order]
+        keep = np.concatenate((ds[1:] != ds[:-1], [True]))
+        idx = order[keep]
+    else:
+        idx = order
+    return docs[idx], tfs[idx], pos[gather_token_runs(idx, tfs)]

@@ -88,3 +88,70 @@ def test_merge_overlap_last_wins():
     docs, tfs = merge_posting_runs([a, b])
     assert docs.tolist() == [1, 5, 7, 9]
     assert tfs.tolist() == [2, 10, 1, 4]  # docID 5 takes run b's tf
+
+
+# ---------------------------------------------------------------------------
+# Positional postings (phrase-query support)
+# ---------------------------------------------------------------------------
+
+from data_prep_opensearch_spark.operators.postings import (  # noqa: E402
+    decode_positions,
+    encode_positions,
+    gather_token_runs,
+    merge_posting_runs_with_pos,
+)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**20), min_size=1, max_size=50),
+        max_size=100,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_positions_roundtrip(per_posting):
+    # positions sorted ascending within each posting (dups allowed: the
+    # code tokenizer emits sub-tokens at their parent's position)
+    runs = [sorted(p) for p in per_posting]
+    tfs = np.array([len(r) for r in runs], dtype=np.int64)
+    pos = np.array([x for r in runs for x in r], dtype=np.int64)
+    buf = encode_positions(pos, tfs)
+    out = decode_positions(buf, tfs)
+    assert (out == pos).all()
+
+
+def test_positions_unsorted_within_posting_rejected():
+    with pytest.raises(ValueError):
+        encode_positions(
+            np.array([5, 3], dtype=np.int64), np.array([2], dtype=np.int64)
+        )
+
+
+def test_positions_empty():
+    assert encode_positions(np.zeros(0, np.int64), np.zeros(0, np.int64)) == b""
+    assert decode_positions(b"", np.zeros(0, np.int64)).size == 0
+
+
+def test_gather_token_runs_permutation():
+    # postings with tfs [2,1,3]; reorder to [2,0,1]
+    tfs = np.array([2, 1, 3], dtype=np.int64)
+    idx = np.array([2, 0, 1], dtype=np.int64)
+    g = gather_token_runs(idx, tfs)
+    assert g.tolist() == [3, 4, 5, 0, 1, 2]
+
+
+def test_merge_with_pos_last_wins():
+    a = (
+        np.array([1, 5], dtype=np.int64),
+        np.array([2, 1], dtype=np.int64),
+        np.array([0, 7, 3], dtype=np.int64),  # doc1: [0,7]; doc5: [3]
+    )
+    b = (
+        np.array([5], dtype=np.int64),
+        np.array([2], dtype=np.int64),
+        np.array([4, 9], dtype=np.int64),  # doc5: [4,9] (wins)
+    )
+    docs, tfs, pos = merge_posting_runs_with_pos([a, b])
+    assert docs.tolist() == [1, 5]
+    assert tfs.tolist() == [2, 2]
+    assert pos.tolist() == [0, 7, 4, 9]
