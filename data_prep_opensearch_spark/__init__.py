@@ -21,12 +21,12 @@ everything here is a fresh Spark design. Reference citations in
 docstrings are behavioral parity notes only.
 """
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 # On-disk index layout revision: bump whenever the segment/doclen/
 # manifest/meta FORMAT changes (not on every package release). Cache
 # keys for built indexes include this, so a layout change invalidates
 # stale /tmp caches even if a package version were ever reused.
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4  # 4: positional postings (pos_bytes)
 
 from data_prep_opensearch_spark.session import get_spark  # noqa: F401

@@ -60,6 +60,43 @@ def tokenize_code(text: str) -> list[str]:
 TOKENIZERS = {"simple": tokenize_simple, "code": tokenize_code}
 
 
+def tokenize_idents(text: str) -> list[str]:
+    """Whole lowered identifiers only — no sub-token injection. This is
+    the QUERY-side analyzer for phrase bodies under the 'code' tokenizer:
+    a phrase is a consecutive-identifier pattern, and injecting sub-tokens
+    into the phrase term list would demand impossible adjacencies."""
+    return [m.group(0).lower() for m in IDENT_RE.finditer(text)]
+
+
+# phrase bodies analyze to one token per source-text position
+PHRASE_TOKENIZERS = {"simple": tokenize_simple, "code": tokenize_idents}
+
+
+def tokenize_with_positions(text: str, mode: str = "simple") -> tuple[list[str], list[int]]:
+    """(tokens, within-doc positions) matching the INDEX's position
+    semantics exactly (index_build._flatten_tokens): 'simple' = token
+    ordinal; 'code' = identifier ordinal, sub-tokens sharing their parent
+    identifier's position (Lucene WordDelimiterFilter increment-0).
+    Single-process oracle twin of the positional index stream."""
+    if mode == "simple":
+        toks = tokenize_simple(text)
+        return toks, list(range(len(toks)))
+    if mode == "code":
+        toks: list[str] = []
+        pos: list[int] = []
+        for i, m in enumerate(IDENT_RE.finditer(text)):
+            ident = m.group(0)
+            toks.append(ident.lower())
+            pos.append(i)
+            subs = _split_ident(ident)
+            if len(subs) > 1:
+                for s in subs:
+                    toks.append(s.lower())
+                    pos.append(i)
+        return toks, pos
+    raise KeyError(mode)
+
+
 def term_frequencies(text: str, mode: str = "simple") -> Counter:
     return Counter(TOKENIZERS[mode](text))
 

@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--tokenizer", default="simple", choices=["simple", "code"])
     b.add_argument("--sort-segments", action="store_true")
+    b.add_argument("--no-positions", action="store_true",
+                   help="skip the positional (phrase-query) stream: "
+                        "smaller index, phrase queries unavailable")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -120,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, spark.read.parquet(args.source), args.index,
             n_shards=args.shards, tokenizer=args.tokenizer,
             n_groups=args.groups, resume=args.resume,
+            positions=not args.no_positions,
         )
         if args.sort_segments and meta.get("status") == "complete":
             sort_segments(spark, args.index)

@@ -29,6 +29,7 @@ import functools
 import json
 import math
 import os
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,11 +37,17 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+from data_prep_opensearch_spark.functions.tokenize import (
+    PHRASE_TOKENIZERS,
+    TOKENIZERS,
+)
 from data_prep_opensearch_spark.operators.postings import (
+    decode_positions,
     decode_posting_block,
     decode_posting_list,
+    gather_token_runs,
     merge_posting_runs,
+    merge_posting_runs_with_pos,
     vbyte_decode,
 )
 
@@ -62,11 +69,23 @@ def bm25_upper_bound(idf_t: float, max_tf: int, min_dl: int, avgdl: float) -> fl
     return idf_t * bm25_tf_term(float(max_tf), float(min_dl), avgdl)
 
 
+_PHRASE_RE = re.compile(r'(-?)"([^"]*)"')
+
+
 def parse_query(
-    query: str, tok
-) -> tuple[list[str], list[str], list[str], list[str]]:
+    query: str, tok, phrase_tok=None
+) -> tuple[list[str], list[str], list[str], list[str],
+           list[list[str]], list[list[str]]]:
     """Split a query string into (literal terms, prefix stems,
-    negated literals, negated prefix stems).
+    negated literals, negated prefix stems, phrases, negated phrases).
+
+    ``"quoted text"`` is a PHRASE clause (Lucene match_phrase): its body
+    is analyzed with ``phrase_tok`` (default ``tok``; the engine passes
+    the whole-identifier analyzer under the 'code' tokenizer, because a
+    phrase is a consecutive-position pattern and injected sub-tokens
+    share their parent's position). A single-token phrase collapses to
+    a literal; ``-"..."`` negates the phrase (must_not). Unpaired
+    quotes are not token characters and simply tokenize away.
 
     A whitespace chunk ending in ``*`` is a PREFIX clause: its stem is
     run through the tokenizer, the last produced token becomes the
@@ -82,6 +101,22 @@ def parse_query(
     prefixes: list[str] = []
     neg_literals: list[str] = []
     neg_prefixes: list[str] = []
+    phrases: list[list[str]] = []
+    neg_phrases: list[list[str]] = []
+    ptok = phrase_tok or tok
+
+    def _take_phrase(m: "re.Match[str]") -> str:
+        toks = ptok(m.group(2))
+        neg = m.group(1) == "-"
+        if not toks:
+            pass
+        elif len(toks) == 1:
+            (neg_literals if neg else literals).append(toks[0])
+        else:
+            (neg_phrases if neg else phrases).append(toks)
+        return " "
+
+    query = _PHRASE_RE.sub(_take_phrase, query)
     plain: list[str] = []
     for chunk in query.split():
         neg = chunk.startswith("-") and len(chunk) > 1
@@ -101,7 +136,7 @@ def parse_query(
         else:
             plain.append(chunk)
     literals.extend(tok(" ".join(plain)))
-    return literals, prefixes, neg_literals, neg_prefixes
+    return literals, prefixes, neg_literals, neg_prefixes, phrases, neg_phrases
 
 
 def resolve_msm(msm, n_terms: int) -> int:
@@ -264,6 +299,17 @@ class BM25Engine:
                 "deleted", F.lit(None).cast(T.ArrayType(T.LongType()))
             )
 
+        # the warm cache stays position-free: pos_bytes would roughly
+        # double the cached footprint and only phrase queries read it.
+        # A positional twin (self._seg_pos) is cached lazily on the
+        # first phrase query.
+        if "pos_bytes" in seg.columns:
+            self._seg_all = seg
+            seg = seg.drop("pos_bytes")
+        else:
+            self._seg_all = None
+        self._seg_pos = None
+
         self._shard_partitioned = cache
         if cache:
             # one cached partition per CORE, not per shard: a shard-count
@@ -277,6 +323,7 @@ class BM25Engine:
                 max(spark.sparkContext.defaultParallelism, 1),
                 self.meta["n_shards"],
             )
+            self._n_part = n_part
             self.seg = seg.repartition(n_part, "shard").cache()
             self.seg.count()
             self.sidecar = sidecar.repartition(n_part, "shard").cache()
@@ -304,6 +351,11 @@ class BM25Engine:
         ] = {}
         self._local_deleted: np.ndarray = np.zeros(0, dtype=np.int64)
         self._local_bytes = 0
+        # driver-local positional cache (phrase queries): term ->
+        # (docs, tfs, dls, flat positions) spanning all shards/gens
+        self._local_pos: dict[
+            str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+        ] = {}
 
     def unpersist(self) -> None:
         """Release the cached segment + sidecar partitions (blocking).
@@ -314,12 +366,35 @@ class BM25Engine:
         if self._shard_partitioned:
             self.seg.unpersist(blocking=True)
             self.sidecar.unpersist(blocking=True)
+            if self._seg_pos is not None:
+                self._seg_pos.unpersist(blocking=True)
+        self._seg_pos = None
         self._df_cache.clear()
         self._prefix_cache.clear()
         self._local_flat.clear()
+        self._local_pos.clear()
         self._local_side.clear()
         self._local_deleted = np.zeros(0, dtype=np.int64)
         self._local_bytes = 0
+
+    def _seg_positional(self) -> DataFrame:
+        """Segment scan INCLUDING pos_bytes, for phrase queries — cached
+        lazily with the same shard partitioning as ``self.seg`` so its
+        sidecar join stays exchange-free. Kept separate from the warm
+        cache: positions roughly double the bytes and only phrase
+        queries read them."""
+        if not self.meta.get("positions"):
+            raise ValueError(
+                "phrase query requires an index built with positions=True "
+                f"({self.index_dir} has none)"
+            )
+        if self._seg_pos is None:
+            sp = self._seg_all
+            if self._shard_partitioned:
+                sp = sp.repartition(self._n_part, "shard").cache()
+                sp.count()
+            self._seg_pos = sp
+        return self._seg_pos
 
     def resolve_df(self, terms: list[str]) -> dict[str, int]:
         """Global df per term (summed over shards/generations) via one tiny
@@ -376,7 +451,8 @@ class BM25Engine:
 
     def _plan_clauses(
         self, query: str, max_expansions: int | None = None
-    ) -> tuple[list[list[str]], int, list[str]]:
+    ) -> tuple[list[list[str]], int, list[str],
+               list[list[str]], list[list[str]]]:
         """Parse a query into CLAUSES: each literal term is one clause;
         each `stem*` prefix is ONE clause whose members are its (capped)
         dictionary expansions — so under min_should_match a prefix counts
@@ -384,12 +460,20 @@ class BM25Engine:
         (Lucene/ES clause semantics). ``-``-prefixed chunks build the
         MUST_NOT exclusion set (negated stems expand under the same
         cap); must_not clauses never count toward msm and never score.
-        Returns (clauses-with-df>0-members, n_clauses-before-df-
-        filtering, exclusion terms) — msm resolves against n_clauses,
-        so an AND query with an unindexed literal or a no-match prefix
-        is unsatisfiable, matching the literal-terms path."""
-        tok = TOKENIZERS[self.meta["tokenizer"]]
-        literals, prefixes, neg_lit, neg_pre = parse_query(query, tok)
+        A ``"quoted"`` chunk is one PHRASE clause (match_phrase): kept
+        only when every member term is indexed (a phrase with an absent
+        term can't match), counting toward n_clauses either way; its
+        negated form joins ``neg_phrases`` (must_not). Returns
+        (clauses-with-df>0-members, n_clauses-before-df-filtering,
+        exclusion terms, phrases, neg_phrases) — msm resolves against
+        n_clauses, so an AND query with an unindexed literal or a
+        no-match prefix is unsatisfiable, matching the literal-terms
+        path."""
+        mode = self.meta["tokenizer"]
+        tok = TOKENIZERS[mode]
+        literals, prefixes, neg_lit, neg_pre, phrases, neg_phrases = (
+            parse_query(query, tok, phrase_tok=PHRASE_TOKENIZERS[mode])
+        )
         clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
         for stem in sorted(set(prefixes)):
             clauses.append(
@@ -400,14 +484,22 @@ class BM25Engine:
             negs.update(
                 t for t, _ in self.expand_prefix(stem, max_expansions)
             )
-        n_clauses = len(clauses)
-        flat = sorted({t for cl in clauses for t in cl} | negs)
+        n_clauses = len(clauses) + len(phrases)
+        flat = sorted(
+            {t for cl in clauses for t in cl} | negs
+            | {t for ph in phrases for t in ph}
+            | {t for ph in neg_phrases for t in ph}
+        )
         df_map = self.resolve_df(flat)
         kept = [
             [t for t in cl if df_map[t] > 0] for cl in clauses
         ]
-        return ([cl for cl in kept if cl], n_clauses,
-                sorted(t for t in negs if df_map[t] > 0))
+        return (
+            [cl for cl in kept if cl], n_clauses,
+            sorted(t for t in negs if df_map[t] > 0),
+            [ph for ph in phrases if all(df_map[t] > 0 for t in ph)],
+            [ph for ph in neg_phrases if all(df_map[t] > 0 for t in ph)],
+        )
 
     @staticmethod
     def _pick_scorer(terms: list[str], df_map: dict[str, int],
@@ -425,6 +517,88 @@ class BM25Engine:
     # posting mass, and bound the driver-resident posting cache
     LOCAL_MAX_POSTINGS = 2_000_000
     LOCAL_CACHE_BYTES = 256 << 20
+
+    def _load_local_sidecars(self, s_missing: list[int]) -> None:
+        """Pull the listed shards' doclen/tombstone sidecars to the driver
+        and refresh the merged tombstone union. Sidecar arrays count
+        against the SAME budget as the flat postings: at 10^12 docs the
+        per-shard doclen arrays alone are GBs — an unaccounted sidecar
+        cache would make LOCAL_CACHE_BYTES a fiction."""
+        if not s_missing:
+            return
+        for r in self.sidecar.filter(F.col("shard").isin(s_missing)).collect():
+            dd = r.asDict()
+            deleted = (
+                None if dd["deleted"] is None
+                else np.asarray(dd["deleted"], dtype=np.int64)
+            )
+            dl_arr = vbyte_decode(bytes(dd["dl_bytes"])).astype(np.float64)
+            self._local_side[int(dd["shard"])] = (
+                int(dd["base"]), dl_arr, deleted
+            )
+            self._local_bytes += int(dl_arr.nbytes) + (
+                int(deleted.nbytes) if deleted is not None else 0
+            )
+        dels = [d for _, _, d in self._local_side.values()
+                if d is not None and d.size]
+        self._local_deleted = (
+            np.unique(np.concatenate(dels)) if dels
+            else np.zeros(0, dtype=np.int64)
+        )
+
+    def _ensure_local_pos(self, pterms: list[str]) -> None:
+        """Pull missing phrase terms' POSITIONAL postings to the driver:
+        per (term, shard) generation-merge with positions, shard-ordered
+        concat, flat (docs, tfs, dls, pos) arrays — the positional twin
+        of ``_local_flat``, same budget."""
+        missing = [t for t in pterms if t not in self._local_pos]
+        if not missing:
+            return
+        if self._seg_all is None or not self.meta.get("positions"):
+            raise ValueError(
+                "phrase query requires an index built with positions=True "
+                f"({self.index_dir} has none)"
+            )
+        rows = [
+            r.asDict()
+            for r in self._seg_all.filter(F.col("term").isin(missing))
+            .select("term", "shard", "gen", "doc_bytes", "tf_bytes",
+                    "pos_bytes").collect()
+        ]
+        self._load_local_sidecars(sorted(
+            {int(d["shard"]) for d in rows} - self._local_side.keys()
+        ))
+        by_ts: dict[tuple, list[dict]] = {}
+        for d in rows:
+            by_ts.setdefault((d["term"], int(d["shard"])), []).append(d)
+        parts: dict[str, list] = {t: [] for t in missing}
+        for (t, shard), ds in by_ts.items():
+            base, dl_arr, _ = self._local_side[shard]
+            runs = []
+            for d in sorted(ds, key=lambda d: int(d["gen"])):
+                docs, tfs = decode_posting_list(
+                    bytes(d["doc_bytes"]), bytes(d["tf_bytes"]), base=base
+                )
+                runs.append((docs, tfs,
+                             decode_positions(bytes(d["pos_bytes"]), tfs)))
+            docs, tfs, pos = (
+                runs[0] if len(runs) == 1 else merge_posting_runs_with_pos(runs)
+            )
+            parts[t].append((shard, docs, tfs, dl_arr[docs - base], pos))
+        size = 0
+        for t in missing:
+            ps = sorted(parts[t], key=lambda p: p[0])
+            if ps:
+                docs = np.concatenate([p[1] for p in ps])
+                tfs = np.concatenate([p[2] for p in ps])
+                dls = np.concatenate([p[3] for p in ps])
+                pos = np.concatenate([p[4] for p in ps])
+            else:
+                docs = tfs = pos = np.zeros(0, dtype=np.int64)
+                dls = np.zeros(0, dtype=np.float64)
+            self._local_pos[t] = (docs, tfs, dls, pos)
+            size += int(docs.nbytes + tfs.nbytes + dls.nbytes + pos.nbytes)
+        self._local_bytes += size
 
     def topk_local(
         self,
@@ -471,19 +645,27 @@ class BM25Engine:
                 return pdf.reset_index(drop=True)
             return spark.createDataFrame(pdf, TOPK_SCHEMA)
 
-        clauses, n_clauses, negs = self._plan_clauses(query, max_expansions)
+        clauses, n_clauses, negs, phrases, neg_phrases = self._plan_clauses(
+            query, max_expansions
+        )
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
-        df_map = self.resolve_df(terms + negs)
-        if not terms or len(clauses) < msm:
+        pterms = sorted(
+            {t for ph in phrases for t in ph}
+            | {t for ph in neg_phrases for t in ph}
+        )
+        if (not terms and not phrases) or len(clauses) + len(phrases) < msm:
             return _out(_empty_topk())
+        df_map = self.resolve_df(terms + negs + pterms)
         cap = self.LOCAL_MAX_POSTINGS if max_postings is None else max_postings
-        # exclusion postings are pulled to the driver too — they count
-        # against the same posting-mass guard
-        if sum(df_map[t] for t in terms + negs) > cap:
+        # exclusion and phrase postings are pulled to the driver too —
+        # they count against the same posting-mass guard
+        if sum(df_map[t] for t in terms + negs + pterms) > cap:
             dist = self.topk(query, k, scorer, min_should_match=msm,
                              max_expansions=max_expansions)
             return dist.toPandas() if as_pandas else dist
+        if pterms:
+            self._ensure_local_pos(pterms)
 
         # fetch + decode ONCE per term: the cache holds flat, fully
         # decoded (docs, tf, dl) arrays per term spanning all shards and
@@ -498,37 +680,9 @@ class BM25Engine:
                 r.asDict()
                 for r in self.seg.filter(F.col("term").isin(missing)).collect()
             ]
-            s_missing = sorted(
+            self._load_local_sidecars(sorted(
                 {int(d["shard"]) for d in rows} - self._local_side.keys()
-            )
-            if s_missing:
-                for r in self.sidecar.filter(
-                    F.col("shard").isin(s_missing)
-                ).collect():
-                    dd = r.asDict()
-                    deleted = (
-                        None if dd["deleted"] is None
-                        else np.asarray(dd["deleted"], dtype=np.int64)
-                    )
-                    dl_arr = vbyte_decode(bytes(dd["dl_bytes"])).astype(
-                        np.float64
-                    )
-                    self._local_side[int(dd["shard"])] = (
-                        int(dd["base"]), dl_arr, deleted
-                    )
-                    # sidecar arrays count against the SAME budget as the
-                    # flat postings: at 10^12 docs the per-shard doclen
-                    # arrays alone are GBs — an unaccounted sidecar cache
-                    # would make LOCAL_CACHE_BYTES a fiction
-                    self._local_bytes += int(dl_arr.nbytes) + (
-                        int(deleted.nbytes) if deleted is not None else 0
-                    )
-                dels = [d for _, _, d in self._local_side.values()
-                        if d is not None and d.size]
-                self._local_deleted = (
-                    np.unique(np.concatenate(dels)) if dels
-                    else np.zeros(0, dtype=np.int64)
-                )
+            ))
             by_ts: dict[tuple, list[dict]] = {}
             for d in rows:
                 by_ts.setdefault((d["term"], int(d["shard"])), []).append(d)
@@ -554,40 +708,46 @@ class BM25Engine:
                     tfs = dls = np.zeros(0, dtype=np.float64)
                 self._local_flat[t] = (docs, tfs, dls)
                 size += docs.nbytes + int(tfs.nbytes) + int(dls.nbytes)
-            if self._local_bytes + size > self.LOCAL_CACHE_BYTES:
-                # evict down to THIS query's working set: its terms'
-                # flat arrays AND the sidecars of the shards they touch
-                # (derived from docIDs: shard = doc // shard_width)
-                self._local_flat = {
-                    t: self._local_flat[t] for t in set(terms) | set(negs)
-                }
-                width = int(self.meta["shard_width"])
-                kept_shards: set[int] = set()
-                for docs_t, _, _ in self._local_flat.values():
-                    if docs_t.size:
-                        kept_shards.update(
-                            (np.unique(docs_t // width)).tolist()
-                        )
-                self._local_side = {
-                    sh: v for sh, v in self._local_side.items()
-                    if sh in kept_shards
-                }
-                dels = [d for _, _, d in self._local_side.values()
-                        if d is not None and d.size]
-                self._local_deleted = (
-                    np.unique(np.concatenate(dels)) if dels
-                    else np.zeros(0, dtype=np.int64)
-                )
-                self._local_bytes = sum(
-                    sum(int(a.nbytes) for a in v)
-                    for v in self._local_flat.values()
-                ) + sum(
-                    int(dl.nbytes)
-                    + (int(d.nbytes) if d is not None else 0)
-                    for _, dl, d in self._local_side.values()
-                )
-            else:
-                self._local_bytes += size
+            self._local_bytes += size
+        if self._local_bytes > self.LOCAL_CACHE_BYTES:
+            # evict down to THIS query's working set: its terms' flat
+            # arrays, its phrase terms' positional arrays, AND the
+            # sidecars of the shards they touch (shard = doc // width)
+            self._local_flat = {
+                t: v for t, v in self._local_flat.items()
+                if t in set(terms) | set(negs)
+            }
+            self._local_pos = {
+                t: v for t, v in self._local_pos.items() if t in set(pterms)
+            }
+            width = int(self.meta["shard_width"])
+            kept_shards: set[int] = set()
+            for docs_t, *_ in list(self._local_flat.values()) + list(
+                self._local_pos.values()
+            ):
+                if docs_t.size:
+                    kept_shards.update((np.unique(docs_t // width)).tolist())
+            self._local_side = {
+                sh: v for sh, v in self._local_side.items()
+                if sh in kept_shards
+            }
+            dels = [d for _, _, d in self._local_side.values()
+                    if d is not None and d.size]
+            self._local_deleted = (
+                np.unique(np.concatenate(dels)) if dels
+                else np.zeros(0, dtype=np.int64)
+            )
+            self._local_bytes = sum(
+                sum(int(a.nbytes) for a in v)
+                for v in self._local_flat.values()
+            ) + sum(
+                sum(int(a.nbytes) for a in v)
+                for v in self._local_pos.values()
+            ) + sum(
+                int(dl.nbytes)
+                + (int(d.nbytes) if d is not None else 0)
+                for _, dl, d in self._local_side.values()
+            )
 
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
         parts_d, parts_c = [], []
@@ -597,6 +757,28 @@ class BM25Engine:
                 parts_d.append(docs)
                 parts_c.append(
                     idf(n_docs, df_map[t]) * bm25_tf_term(tfs, dls, avgdl)
+                )
+        phrase_hits: list[np.ndarray] = []
+        for ph in phrases:
+            arrs = []
+            for t in ph:
+                v = self._local_pos.get(t)
+                if v is None or v[0].size == 0:
+                    arrs = None
+                    break
+                arrs.append((v[0], v[1], v[3]))
+            if arrs is None:
+                phrase_hits.append(np.zeros(0, np.int64))
+                continue
+            pdocs, pf = _phrase_freqs(arrs)
+            phrase_hits.append(pdocs)
+            if pdocs.size:
+                d0, _, dl0, _ = self._local_pos[ph[0]]
+                dl = dl0[np.searchsorted(d0, pdocs)]
+                w = sum(idf(n_docs, df_map[t]) for t in ph)
+                parts_d.append(pdocs)
+                parts_c.append(
+                    w * bm25_tf_term(pf.astype(np.float64), dl, avgdl)
                 )
         if not parts_d:
             return _out(_empty_topk())
@@ -608,8 +790,9 @@ class BM25Engine:
         scores = np.add.reduceat(contrib, starts)
         if msm > 1:
             if all(len(cl) == 1 for cl in clauses):
-                # per-term docs are unique, so the posting count per
-                # unique doc IS its distinct matched-clause count
+                # per-term docs are unique and each matched phrase added
+                # exactly one parts_d entry per doc, so the posting count
+                # per unique doc IS its distinct matched-clause count
                 nmatch = np.diff(np.append(starts, docs.size))
             else:
                 # prefix clauses: a clause counts once per doc however
@@ -629,7 +812,24 @@ class BM25Engine:
                         np.concatenate(ps)
                     )
                     nmatch[np.searchsorted(uniq, dcl)] += 1
+                for pdocs in phrase_hits:
+                    if pdocs.size:
+                        nmatch[np.searchsorted(uniq, pdocs)] += 1
             uniq, scores = uniq[nmatch >= msm], scores[nmatch >= msm]
+        for ph in neg_phrases:
+            arrs = []
+            for t in ph:
+                v = self._local_pos.get(t)
+                if v is None or v[0].size == 0:
+                    arrs = None
+                    break
+                arrs.append((v[0], v[1], v[3]))
+            if arrs is None:
+                continue
+            pdocs, _ = _phrase_freqs(arrs)
+            if pdocs.size:
+                alive = ~np.isin(uniq, pdocs)
+                uniq, scores = uniq[alive], scores[alive]
         if negs:
             ps = [self._local_flat[t][0] for t in negs
                   if t in self._local_flat and self._local_flat[t][0].size]
@@ -669,20 +869,33 @@ class BM25Engine:
         fallback when nothing is skippable."""
         self._maybe_refresh()
         spark = self.spark
-        clauses, n_clauses, negs = self._plan_clauses(query, max_expansions)
+        clauses, n_clauses, negs, phrases, neg_phrases = self._plan_clauses(
+            query, max_expansions
+        )
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
-        df_map = self.resolve_df(terms)
+        pterms = sorted(
+            {t for ph in phrases for t in ph}
+            | {t for ph in neg_phrases for t in ph}
+        )
+        df_map = self.resolve_df(terms + pterms)
         # fewer surviving clauses than msm (incl. AND with an unindexed
         # term or a no-match prefix): no doc can satisfy the clause
         # count. A pure-negative query has no positive clause to
         # generate candidates (Lucene bool with only must_not) -> empty.
-        if not terms or len(clauses) < msm:
+        if (not terms and not phrases) or len(clauses) + len(phrases) < msm:
             return spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
-        idf_map = {t: idf(n_docs, df_map[t]) for t in terms}
+        idf_map = {t: idf(n_docs, df_map[t]) for t in terms + pterms}
 
-        if msm > 1:
+        if phrases or neg_phrases:
+            # phrase queries read the positional twin; the dedicated
+            # scorer handles term clauses + phrase clauses + msm together
+            scorer_fn = functools.partial(
+                _score_shard_phrase, msm=msm, clauses=clauses,
+                phrases=phrases, neg_phrases=neg_phrases,
+            )
+        elif msm > 1:
             cl_arg = None if all(len(c) == 1 for c in clauses) else clauses
             scorer_fn = functools.partial(_score_shard_msm, msm=msm,
                                           clauses=cl_arg)
@@ -690,7 +903,8 @@ class BM25Engine:
             scorer = self._pick_scorer(terms, df_map, n_docs, scorer)
             scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
 
-        seg = self.seg.filter(F.col("term").isin(terms + negs))
+        seg_src = self._seg_positional() if (phrases or neg_phrases) else self.seg
+        seg = seg_src.filter(F.col("term").isin(terms + negs + pterms))
         if not self._shard_partitioned:
             # cold path: co-locate each shard's rows (the filtered set is
             # tiny — <= |terms| rows per shard — so this shuffle is cheap)
@@ -746,15 +960,29 @@ class BM25Engine:
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
 
         plans: list[tuple[list[str], dict[str, float], object, list[str]]] = []
-        for clauses, n_clauses, negs in clause_plans:
+        any_phrases = False
+        for clauses, n_clauses, negs, phrases, neg_phrases in clause_plans:
             msm = resolve_msm(min_should_match, n_clauses)
             ts = sorted({t for cl in clauses for t in cl})
-            df_map = self.resolve_df(ts)
-            if not ts or len(clauses) < msm:
+            pts = sorted(
+                {t for ph in phrases for t in ph}
+                | {t for ph in neg_phrases for t in ph}
+            )
+            df_map = self.resolve_df(ts + pts)
+            if (not ts and not phrases) or len(clauses) + len(phrases) < msm:
                 plans.append(([], {}, None, []))
                 continue
-            idf_map = {t: idf(n_docs, df_map[t]) for t in ts}
-            if msm > 1:
+            idf_map = {t: idf(n_docs, df_map[t]) for t in ts + pts}
+            if phrases or neg_phrases:
+                any_phrases = True
+                fn = functools.partial(
+                    _score_shard_phrase, msm=msm, clauses=clauses,
+                    phrases=phrases, neg_phrases=neg_phrases,
+                )
+                # the phrase scorer needs the phrase terms' rows in its
+                # slice of the shard group
+                ts = sorted(set(ts) | set(pts))
+            elif msm > 1:
                 cl_arg = (None if all(len(c) == 1 for c in clauses)
                           else clauses)
                 fn = functools.partial(_score_shard_msm, msm=msm,
@@ -771,7 +999,8 @@ class BM25Engine:
         if not any(ts for ts, _, _, _ in plans):
             return spark.createDataFrame([], BATCH_TOPK_SCHEMA)
         all_negs = {t for _, _, _, ns in plans for t in ns}
-        seg = self.seg.filter(F.col("term").isin(union_terms))
+        seg_src = self._seg_positional() if any_phrases else self.seg
+        seg = seg_src.filter(F.col("term").isin(union_terms))
         if not self._shard_partitioned:
             seg = seg.repartition(F.col("shard"))
         seg = seg.join(self.sidecar, "shard", "inner")
@@ -869,6 +1098,171 @@ def _decode_group(grp: pd.DataFrame, base: int) -> dict[str, tuple[np.ndarray, n
             docs, tfs = merge_posting_runs([out[t], (docs, tfs)])
         out[t] = (docs, tfs)
     return out
+
+
+_POSK = np.int64(1) << np.int64(32)  # (doc-rank, position) composite key
+
+
+def _phrase_freqs(
+    arrays: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase matching over positional postings.
+
+    ``arrays[i]`` = (sorted unique doc_ids, tfs, flat posting-major
+    positions) for the i-th phrase term. Returns (docs, phrase_freq)
+    for docs containing the terms at consecutive positions; freq counts
+    DISTINCT start positions (sub-tokens sharing a position under the
+    'code' tokenizer can't double-count an occurrence).
+
+    All-numpy: intersect candidate docs, then per term build
+    (doc_rank * 2^32 + position - i) keys and intersect those — the
+    survivors are phrase start positions. Positions are < 2^32 and
+    per-shard candidate counts < 2^31, so the composite key is exact.
+    """
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    cand = arrays[0][0]
+    for d, _, _ in arrays[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+        if cand.size == 0:
+            return empty
+    surv: np.ndarray | None = None
+    for i, (d, t, p) in enumerate(arrays):
+        sel = np.flatnonzero(np.isin(d, cand, assume_unique=True))
+        pos_sel = p[gather_token_runs(sel, t)]
+        rank_tok = np.repeat(
+            np.searchsorted(cand, d[sel]), t[sel]
+        ).astype(np.int64)
+        if i:
+            ok = pos_sel >= i
+            pos_sel, rank_tok = pos_sel[ok], rank_tok[ok]
+        keys = np.unique(rank_tok * _POSK + (pos_sel - i))
+        surv = keys if surv is None else surv[
+            np.isin(surv, keys, assume_unique=True)
+        ]
+        if surv.size == 0:
+            return empty
+    pf = np.bincount((surv // _POSK).astype(np.int64), minlength=cand.size)
+    nz = np.flatnonzero(pf)
+    return cand[nz], pf[nz].astype(np.int64)
+
+
+def _decode_group_pos(
+    grp: pd.DataFrame, base: int, pos_terms: set[str]
+) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray | None]]:
+    """Like :func:`_decode_group` but rows of ``pos_terms`` also decode
+    their position stream (generation merge keeps positions aligned via
+    the token-run gather)."""
+    terms = grp["term"].to_numpy()
+    gens = grp["gen"].to_numpy()
+    docs_b = grp["doc_bytes"].to_numpy()
+    tfs_b = grp["tf_bytes"].to_numpy()
+    pos_b = grp["pos_bytes"].to_numpy() if "pos_bytes" in grp.columns else None
+    out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray | None]] = {}
+    for i in np.argsort(gens, kind="stable"):
+        t = terms[i]
+        docs, tfs = decode_posting_list(bytes(docs_b[i]), bytes(tfs_b[i]), base=base)
+        if t in pos_terms:
+            if pos_b is None or pos_b[i] is None:
+                raise ValueError(
+                    "phrase query over a segment without positions "
+                    "(index built with positions=False?)"
+                )
+            pos = decode_positions(bytes(pos_b[i]), tfs)
+            if t in out:
+                prev = out[t]
+                docs, tfs, pos = merge_posting_runs_with_pos(
+                    [(prev[0], prev[1], prev[2]), (docs, tfs, pos)]
+                )
+            out[t] = (docs, tfs, pos)
+        else:
+            if t in out:
+                prev = out[t]
+                docs, tfs = merge_posting_runs([(prev[0], prev[1]), (docs, tfs)])
+            out[t] = (docs, tfs, None)
+    return out
+
+
+def _score_shard_phrase(
+    grp: pd.DataFrame, idf_map: dict[str, float], avgdl: float, k: int,
+    base: int, dl_bytes: bytes, deleted: np.ndarray | None = None,
+    msm: int = 1, clauses: list[list[str]] | None = None,
+    phrases: list[list[str]] | None = None,
+    neg_phrases: list[list[str]] | None = None,
+) -> pd.DataFrame:
+    """Dense scorer for phrase-bearing queries. Term clauses accumulate
+    BM25 exactly like :func:`_score_shard_dense`; each phrase clause
+    contributes ``(Σ idf of its terms) * tf_term(phrase_freq, dl)`` —
+    Lucene's PhraseQuery-under-BM25 weighting — and counts once toward
+    ``msm``. ``neg_phrases`` exclude their matching docs (must_not).
+    Phrase candidates intersect the phrase terms' postings, so the
+    exhaustive accumulation is bounded by the rarest phrase term."""
+    phrases = phrases or []
+    neg_phrases = neg_phrases or []
+    pos_terms = {t for ph in phrases for t in ph}
+    pos_terms.update(t for ph in neg_phrases for t in ph)
+    postings = _decode_group_pos(grp, base, pos_terms)
+    dl_arr = vbyte_decode(dl_bytes).astype(np.int64)
+    if not postings:
+        return _empty_topk()
+    acc = np.zeros(dl_arr.shape[0], dtype=np.float64)
+    cnt = np.zeros(dl_arr.shape[0], dtype=np.int32) if msm > 1 else None
+    term_clauses = clauses or []
+    for cl in term_clauses:
+        for term in cl:
+            if term not in postings:
+                continue
+            docs, tfs, _ = postings[term]
+            if docs.size == 0:
+                continue
+            off = docs - base
+            dl = dl_arr[off]
+            acc[off] += idf_map[term] * bm25_tf_term(
+                tfs.astype(np.float64), dl.astype(np.float64), avgdl
+            )
+        if cnt is not None:
+            offs = [
+                postings[t][0] - base for t in cl
+                if t in postings and postings[t][0].size
+            ]
+            if offs:
+                u = offs[0] if len(offs) == 1 else np.unique(
+                    np.concatenate(offs)
+                )
+                cnt[u] += 1
+    for ph in phrases:
+        if any(t not in postings or postings[t][0].size == 0 for t in ph):
+            continue
+        pdocs, pf = _phrase_freqs([postings[t] for t in ph])
+        if pdocs.size == 0:
+            continue
+        off = pdocs - base
+        dl = dl_arr[off]
+        w = sum(idf_map[t] for t in ph)
+        acc[off] += w * bm25_tf_term(
+            pf.astype(np.float64), dl.astype(np.float64), avgdl
+        )
+        if cnt is not None:
+            cnt[off] += 1
+    for ph in neg_phrases:
+        if any(t not in postings or postings[t][0].size == 0 for t in ph):
+            continue
+        pdocs, _ = _phrase_freqs([postings[t] for t in ph])
+        if pdocs.size:
+            acc[pdocs - base] = 0.0
+    if cnt is not None:
+        acc[cnt < msm] = 0.0
+    if deleted is not None and deleted.size:
+        off = deleted - base
+        acc[off[(off >= 0) & (off < acc.shape[0])]] = 0.0
+    nz = np.flatnonzero(acc)
+    if nz.size == 0:
+        return _empty_topk()
+    order = np.lexsort((nz, -acc[nz]))[:k]
+    sel = nz[order]
+    return pd.DataFrame({
+        "doc_id": (sel + base).astype("int64"),
+        "score": acc[sel],
+    })
 
 
 def _apply_must_not(

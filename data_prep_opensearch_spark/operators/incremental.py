@@ -156,10 +156,15 @@ def _add_documents_locked(
 
     t0 = time.monotonic()
     staged_dir = os.path.join(index_dir, "staged", f"delta_gen={gen}")
-    map_runs_and_stats(docs, meta["tokenizer"]).write.partitionBy("kind").mode(
-        "overwrite"
-    ).parquet(staged_dir)
-    run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
+    # new generations inherit the index's position setting — a mixed
+    # index (some generations positional, some not) would silently break
+    # phrase queries after a merge
+    positions = bool(meta.get("positions", False))
+    map_runs_and_stats(docs, meta["tokenizer"], positions).write.partitionBy(
+        "kind"
+    ).mode("overwrite").parquet(staged_dir)
+    run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes",
+                "dl_bytes", "pos_bytes"]
     kind0 = os.path.join(staged_dir, "kind=0")
     kind1 = os.path.join(staged_dir, "kind=1")
     n_new = 0
@@ -168,9 +173,9 @@ def _add_documents_locked(
     stats_rel = f"staged/delta_gen={gen}/kind=1"
     if os.path.exists(kind0):
         runs = spark.read.parquet(kind0).select(*run_cols)
-        segments_from_runs(runs, gen=gen).write.mode("overwrite").parquet(
-            os.path.join(index_dir, seg_rel)
-        )
+        segments_from_runs(runs, gen=gen, positions=positions).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, seg_rel))
     has_stats = os.path.exists(kind1)
     if has_stats:
         g_stats = spark.read.parquet(kind1)

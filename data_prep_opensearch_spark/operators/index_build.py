@@ -84,6 +84,10 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("cf", T.LongType(), False),
     T.StructField("doc_bytes", T.BinaryType(), False),
     T.StructField("tf_bytes", T.BinaryType(), False),
+    # within-doc token positions (phrase queries); null when the index was
+    # built without positions — parquet stores a null column at ~0 bytes,
+    # and column pruning keeps non-phrase queries from ever reading it
+    T.StructField("pos_bytes", T.BinaryType(), True),
     T.StructField("block_first", T.ArrayType(T.LongType()), False),
     T.StructField("block_last", T.ArrayType(T.LongType()), False),
     T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
@@ -207,10 +211,10 @@ class _FlatPostings:
     """Flat per-(doc, term) posting columns for one batch (all numpy)."""
 
     __slots__ = ("codes", "uniques", "doc_ids", "shards", "tfs", "dls",
-                 "doc_lens", "doc_n_terms")
+                 "doc_lens", "doc_n_terms", "pos")
 
     def __init__(self, codes, uniques, doc_ids, shards, tfs, dls,
-                 doc_lens, doc_n_terms):
+                 doc_lens, doc_n_terms, pos=None):
         self.codes = codes          # int per posting (index into uniques)
         self.uniques = uniques      # unique term strings
         self.doc_ids = doc_ids      # int64 per posting
@@ -219,9 +223,14 @@ class _FlatPostings:
         self.dls = dls              # int64 per posting
         self.doc_lens = doc_lens    # int64 per INPUT doc
         self.doc_n_terms = doc_n_terms  # int64 per INPUT doc
+        # token-level within-doc positions, posting-major and ascending
+        # within each posting (len == tfs.sum()); None when not collected
+        self.pos = pos
 
 
-def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
+def _flatten_tokens(
+    pdf: pd.DataFrame, tokenizer: str, positions: bool = False
+) -> _FlatPostings:
     """Content rows -> flat posting columns.
 
     The 'simple' path is PURE ARROW C++ (utf8_lower + split_pattern_regex
@@ -230,6 +239,14 @@ def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
     batch, which serialized across concurrent workers on the allocator —
     the single biggest build-scaling bottleneck measured. Token counting
     is then one integer lexsort + run-length pass.
+
+    ``positions`` additionally collects each occurrence's within-doc
+    token position (phrase-query support). Position semantics per
+    tokenizer: 'simple' = token ordinal; 'code' = IDENTIFIER ordinal,
+    with split sub-tokens sharing their parent identifier's position
+    (Lucene WordDelimiterFilter's increment-0 behavior — a phrase over
+    sub-tokens of one identifier matches, and whole-token phrases are
+    unaffected by the sub-token injection).
     """
     ndocs = len(pdf)
     if tokenizer == "simple":
@@ -253,6 +270,14 @@ def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
         codes = enc.indices.to_numpy().astype(np.int64)
         uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         lens = np.bincount(row_idx, minlength=ndocs).astype(np.int64)
+        if positions:
+            # parent indices are sorted, so tokens are grouped by row in
+            # document order: position = global index - row start
+            row_start = np.cumsum(lens) - lens
+            pos_arr = (
+                np.arange(row_idx.shape[0], dtype=np.int64)
+                - row_start[row_idx]
+            )
     elif tokenizer == "code":
         # PURE ARROW C++ identifier-splitting tokenizer (ROADMAP round-1
         # #4 closed): whole lowered identifiers + camelCase/snake_case
@@ -301,6 +326,16 @@ def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
         uniques = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         lens = np.bincount(row_idx, minlength=ndocs).astype(np.int64)
         # (the shared lexsort below re-groups by row; no pre-sort needed)
+        if positions:
+            # position = identifier ordinal within the doc; sub-tokens
+            # inherit their parent identifier's position (increment 0)
+            lens_w = np.bincount(row_w, minlength=ndocs).astype(np.int64)
+            row_start_w = np.cumsum(lens_w) - lens_w
+            pos_w = (
+                np.arange(row_w.shape[0], dtype=np.int64)
+                - row_start_w[row_w]
+            )
+            pos_arr = np.concatenate((pos_w, pos_w[sub_parent[sub_sel]]))
     else:
         from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
 
@@ -316,7 +351,19 @@ def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
         codes = codes.astype(np.int64)
         uniques = np.asarray(uniques, dtype=object)
         row_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
-    order = np.lexsort((codes, row_idx))
+        if positions:
+            row_start = np.cumsum(lens) - lens
+            pos_arr = (
+                np.arange(row_idx.shape[0], dtype=np.int64)
+                - np.repeat(row_start, lens)
+            )
+    if positions:
+        # third key keeps each posting's occurrence run position-sorted
+        # (needed for the code tokenizer, whose concat interleaves whole
+        # and sub tokens; a no-op reorder for the in-order tokenizers)
+        order = np.lexsort((pos_arr, codes, row_idx))
+    else:
+        order = np.lexsort((codes, row_idx))
     c, r = codes[order], row_idx[order]
     change = np.concatenate(([True], (c[1:] != c[:-1]) | (r[1:] != r[:-1])))
     starts = np.flatnonzero(change)
@@ -335,16 +382,24 @@ def _flatten_tokens(pdf: pd.DataFrame, tokenizer: str) -> _FlatPostings:
         dls=lens[u_r],
         doc_lens=lens,
         doc_n_terms=doc_n_terms,
+        pos=pos_arr[order] if positions else None,
     )
 
 
-def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> pd.DataFrame:
+def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool,
+                 pos: np.ndarray | None = None) -> pd.DataFrame:
     """Whole-partition vectorized posting encode: one lexsort, ONE VByte
     pass per stream, per-group byte slicing — no per-group numpy dispatch.
     Returns SEGMENT_SCHEMA rows (with_blocks) or RUN_SCHEMA rows (runs also
-    carry dl_bytes so the reducer can rebuild block_min_dl)."""
+    carry dl_bytes so the reducer can rebuild block_min_dl).
+
+    ``pos``: optional token-level position stream aligned with the INPUT
+    posting order (len == tfs.sum(), ascending within each posting); when
+    given, a ``pos_bytes`` stream rides each group (phrase support), else
+    the column is null."""
     from data_prep_opensearch_spark.operators.postings import (
         BLOCK,
+        gather_token_runs,
         vbyte_encode_with_lengths,
     )
 
@@ -354,6 +409,9 @@ def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> 
         codes, uniq_terms = pd.factorize(pd.Series(terms), sort=False)
     uniq_terms = np.asarray(uniq_terms, dtype=object)
     order = np.lexsort((docs, shards, codes))
+    if pos is not None:
+        # token-level gather follows the posting permutation
+        pos = pos[gather_token_runs(order, tfs)]
     codes, shards, docs = codes[order], shards[order], docs[order]
     tfs, dls = tfs[order], dls[order]
     n = docs.shape[0]
@@ -376,6 +434,19 @@ def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> 
     g_terms = uniq_terms.take(codes[starts])
     g_shards = shards[starts].astype(np.int32)
 
+    pos_col: list | None = None
+    if pos is not None:
+        # one VByte pass over the whole token stream; per-posting resets
+        # (first occurrence absolute) make per-group slices self-contained
+        tok_starts = np.cumsum(tfs) - tfs
+        pdeltas = pos.copy()
+        pdeltas[1:] -= pos[:-1]
+        pdeltas[tok_starts] = pos[tok_starts]
+        pos_buf, pos_nb = vbyte_encode_with_lengths(pdeltas.astype(np.uint64))
+        pos_cum = np.concatenate(([0], np.cumsum(pos_nb)))
+        pbo = np.concatenate((pos_cum[tok_starts[starts]], [len(pos_buf)]))
+        pos_col = [pos_buf[a:b] for a, b in zip(pbo[:-1], pbo[1:])]
+
     if not with_blocks:
         dl_buf, dl_nb = vbyte_encode_with_lengths(dls.astype(np.uint64))
         lbo = np.concatenate(([0], np.cumsum(np.add.reduceat(dl_nb, starts))))
@@ -388,6 +459,8 @@ def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> 
             "doc_bytes": [doc_buf[a:b] for a, b in zip(dbo[:-1], dbo[1:])],
             "tf_bytes": [tf_buf[a:b] for a, b in zip(tbo[:-1], tbo[1:])],
             "dl_bytes": [dl_buf[a:b] for a, b in zip(lbo[:-1], lbo[1:])],
+            "pos_bytes": pos_col if pos_col is not None
+            else [None] * starts.shape[0],
         })
 
     # block metadata for ALL groups in one reduceat sweep: blocks are
@@ -418,6 +491,8 @@ def _encode_flat(terms, docs, shards, tfs, dls, gen: int, with_blocks: bool) -> 
         "cf": cf,
         "doc_bytes": [doc_buf[a:b] for a, b in zip(dbo[:-1], dbo[1:])],
         "tf_bytes": [tf_buf[a:b] for a, b in zip(tbo[:-1], tbo[1:])],
+        "pos_bytes": pos_col if pos_col is not None
+        else [None] * starts.shape[0],
         "block_first": [bfirst[a:b] for a, b in bpairs],
         "block_last": [blast[a:b] for a, b in bpairs],
         "block_max_tf": [bmax_tf[a:b] for a, b in bpairs],
@@ -435,10 +510,12 @@ RUN_SCHEMA = T.StructType([
     T.StructField("doc_bytes", T.BinaryType(), False),
     T.StructField("tf_bytes", T.BinaryType(), False),
     T.StructField("dl_bytes", T.BinaryType(), False),
+    T.StructField("pos_bytes", T.BinaryType(), True),
 ])
 
 
-def map_posting_runs(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
+def map_posting_runs(docs: DataFrame, tokenizer: str = "simple",
+                     positions: bool = False) -> DataFrame:
     """MAP-SIDE COMBINE (the partial aggregation of SURVEY.md §4 X6, done
     explicitly because posting encode isn't a builtin agg): each input
     partition tokenizes its docs and emits already-encoded sorted posting
@@ -453,16 +530,18 @@ def map_posting_runs(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
-        fl = _flatten_tokens(pdf, tokenizer)
+        fl = _flatten_tokens(pdf, tokenizer, positions=positions)
         if fl.doc_ids.shape[0] == 0:
             return
         yield _encode_flat((fl.codes, fl.uniques), fl.doc_ids, fl.shards,
-                           fl.tfs, fl.dls, gen=0, with_blocks=False)
+                           fl.tfs, fl.dls, gen=0, with_blocks=False,
+                           pos=fl.pos)
 
     return docs.select("doc_id", "shard", "content").mapInPandas(run_map, RUN_SCHEMA)
 
 
-def segments_from_runs(runs: DataFrame, gen: int, n_partitions: int | None = None) -> DataFrame:
+def segments_from_runs(runs: DataFrame, gen: int, n_partitions: int | None = None,
+                       positions: bool = False) -> DataFrame:
     """REDUCE: hash-repartition runs by (term, shard); per partition,
     decode ALL runs with three concatenated VByte passes, rebuild the flat
     posting columns, and re-encode with block-max metadata. Runs of one
@@ -472,7 +551,10 @@ def segments_from_runs(runs: DataFrame, gen: int, n_partitions: int | None = Non
         n_partitions = runs.sparkSession.sparkContext.defaultParallelism * 2
 
     def reduce_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from data_prep_opensearch_spark.operators.postings import vbyte_decode
+        from data_prep_opensearch_spark.operators.postings import (
+            decode_positions,
+            vbyte_decode,
+        )
 
         chunks = list(batches)
         if not chunks:
@@ -485,6 +567,12 @@ def segments_from_runs(runs: DataFrame, gen: int, n_partitions: int | None = Non
         deltas = vbyte_decode(b"".join(pdf["doc_bytes"])).astype(np.int64)
         tfs = vbyte_decode(b"".join(pdf["tf_bytes"])).astype(np.int64)
         dls = vbyte_decode(b"".join(pdf["dl_bytes"])).astype(np.int64)
+        pos = None
+        if positions:
+            # position resets land exactly at posting boundaries, so the
+            # concatenated streams decode in ONE pass against the flat tf
+            # array — run boundaries need no special casing
+            pos = decode_positions(b"".join(pdf["pos_bytes"]), tfs)
         # re-anchor docIDs: groupwise cumsum over the flat delta array
         ends = np.cumsum(dfs)
         starts = ends - dfs
@@ -495,7 +583,8 @@ def segments_from_runs(runs: DataFrame, gen: int, n_partitions: int | None = Non
         docs = total - np.repeat(before, dfs) + base_rep
         terms = np.repeat(pdf["term"].to_numpy(), dfs)
         shards = np.repeat(shards_row, dfs)
-        yield _encode_flat(terms, docs, shards, tfs, dls, gen=gen, with_blocks=True)
+        yield _encode_flat(terms, docs, shards, tfs, dls, gen=gen,
+                           with_blocks=True, pos=pos)
 
     return runs.repartition(n_partitions, "term", "shard").mapInPandas(
         reduce_runs, SEGMENT_SCHEMA
@@ -503,9 +592,11 @@ def segments_from_runs(runs: DataFrame, gen: int, n_partitions: int | None = Non
 
 
 def build_segments(docs: DataFrame, tokenizer: str = "simple", gen: int = 0,
-                   n_partitions: int | None = None) -> DataFrame:
+                   n_partitions: int | None = None,
+                   positions: bool = False) -> DataFrame:
     """tokenize -> map-side partial runs -> shuffle -> merged segments."""
-    return segments_from_runs(map_posting_runs(docs, tokenizer), gen, n_partitions)
+    return segments_from_runs(map_posting_runs(docs, tokenizer, positions),
+                              gen, n_partitions, positions)
 
 
 STAGED_SCHEMA = T.StructType([
@@ -517,6 +608,7 @@ STAGED_SCHEMA = T.StructType([
     T.StructField("doc_bytes", T.BinaryType(), True),
     T.StructField("tf_bytes", T.BinaryType(), True),
     T.StructField("dl_bytes", T.BinaryType(), True),
+    T.StructField("pos_bytes", T.BinaryType(), True),
     T.StructField("doc_id", T.LongType(), True),
     T.StructField("repo", T.StringType(), True),
     T.StructField("path", T.StringType(), True),
@@ -528,7 +620,8 @@ STAGED_SCHEMA = T.StructType([
 ])
 
 
-def map_runs_and_stats(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
+def map_runs_and_stats(docs: DataFrame, tokenizer: str = "simple",
+                       positions: bool = False) -> DataFrame:
     """ONE tokenize pass per partition emitting a tagged union of
     (kind=0) encoded posting runs and (kind=1) per-doc stats rows.
 
@@ -544,11 +637,12 @@ def map_runs_and_stats(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
-        fl = _flatten_tokens(pdf, tokenizer)
+        fl = _flatten_tokens(pdf, tokenizer, positions=positions)
         cols = [f.name for f in STAGED_SCHEMA.fields]
         if fl.doc_ids.shape[0]:
             runs = _encode_flat((fl.codes, fl.uniques), fl.doc_ids, fl.shards,
-                                fl.tfs, fl.dls, gen=0, with_blocks=False)
+                                fl.tfs, fl.dls, gen=0, with_blocks=False,
+                                pos=fl.pos)
             runs.insert(0, "kind", 0)
             for c in ("doc_id", "repo", "path", "commit", "lang", "sha256",
                       "doclen", "n_terms"):
@@ -559,7 +653,8 @@ def map_runs_and_stats(docs: DataFrame, tokenizer: str = "simple") -> DataFrame:
         stats["shard"] = stats["shard"].astype("int32")
         stats["doclen"] = fl.doc_lens
         stats["n_terms"] = fl.doc_n_terms
-        for c in ("term", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"):
+        for c in ("term", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes",
+                  "pos_bytes"):
             stats[c] = None
         yield stats[cols]
 
@@ -676,8 +771,14 @@ def build_index(
     n_groups: int = 4,
     resume: bool = False,
     stop_after_groups: int | None = None,
+    positions: bool = True,
 ) -> dict:
     """Full index build with per-group checkpointing.
+
+    ``positions`` (default on) stores within-doc token positions per
+    posting — the phrase-query sidecar stream. Non-phrase queries never
+    read the column (parquet column pruning), so the cost is build-time
+    encode + index bytes only; pass False for a tf-only index.
 
     ``stop_after_groups`` simulates a mid-build kill for the resume test
     (FIXTURES.md §F6). Returns the meta dict (also persisted to meta.json
@@ -695,7 +796,7 @@ def build_index(
     with index_lock(index_dir, purpose="build_index"):
         return _build_index_locked(
             spark, source, index_dir, n_shards, tokenizer, n_groups,
-            resume, stop_after_groups,
+            resume, stop_after_groups, positions,
         )
 
 
@@ -708,6 +809,7 @@ def _build_index_locked(
     n_groups: int,
     resume: bool,
     stop_after_groups: int | None,
+    positions: bool,
 ) -> dict:
     from data_prep_opensearch_spark.operators import manifest as mf
 
@@ -768,7 +870,8 @@ def _build_index_locked(
                 }
             t0 = time.monotonic()
             runs_dir = os.path.join(index_dir, "staged", f"group={g}")
-            run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes", "dl_bytes"]
+            run_cols = ["term", "shard", "df", "cf", "doc_bytes", "tf_bytes",
+                        "dl_bytes", "pos_bytes"]
             kind0 = os.path.join(runs_dir, "kind=0")
             kind1 = os.path.join(runs_dir, "kind=1")
             seg_rel, dl_rel = f"seg_b0_g{g}", f"dl_b0_g{g}"
@@ -822,9 +925,9 @@ def _build_index_locked(
             # the kind=1 (doc stats) partition is then simply REFERENCED from
             # the manifest — no rename, no second write.
             tmark = time.monotonic()
-            map_runs_and_stats(gdocs, tokenizer).write.partitionBy("kind").mode(
-                "overwrite"
-            ).parquet(runs_dir)
+            map_runs_and_stats(gdocs, tokenizer, positions).write.partitionBy(
+                "kind"
+            ).mode("overwrite").parquet(runs_dir)
             tmark = _tick("staged_write", tmark)
             # a group can be empty (n_docs < n_shards, or empty shards): guard
             # both kinds and still commit the lineage row so resume skips it
@@ -843,7 +946,7 @@ def _build_index_locked(
             def _write_segments():
                 try:
                     runs = spark.read.parquet(kind0).select(*run_cols)
-                    segments_from_runs(runs, gen=0).write.mode(
+                    segments_from_runs(runs, gen=0, positions=positions).write.mode(
                         "overwrite"
                     ).parquet(os.path.join(index_dir, seg_rel))
                 except BaseException as e:  # re-raised on the main thread
@@ -942,6 +1045,7 @@ def _build_index_locked(
         "n_shards": n_shards,
         "shard_width": SHARD_WIDTH,
         "tokenizer": tokenizer,
+        "positions": positions,
         "generations": [0],
         "status": "complete",
     }

@@ -35,9 +35,13 @@ from data_prep_opensearch_spark.operators import manifest as mf
 from data_prep_opensearch_spark.operators.index_build import SEGMENT_SCHEMA, SHARD_WIDTH
 from data_prep_opensearch_spark.operators.locks import index_lock
 from data_prep_opensearch_spark.operators.postings import (
+    decode_positions,
     decode_posting_list,
+    encode_positions,
     encode_posting_list,
+    gather_token_runs,
     merge_posting_runs,
+    merge_posting_runs_with_pos,
     vbyte_decode,
 )
 
@@ -126,7 +130,10 @@ def _merge_locked(
         to_merge = spark.read.parquet(
             *[os.path.join(index_dir, e["path"]) for e in src]
         )
-        merged = _merge_generation_df(to_merge, dl, next_gen, masked)
+        merged = _merge_generation_df(
+            to_merge, dl, next_gen, masked,
+            positions=bool(meta.get("positions", False)),
+        )
         masked = None  # applied in the (full) first pass
         rel = f"seg_merged_g{next_gen}"
         merged.write.mode("overwrite").parquet(os.path.join(index_dir, rel))
@@ -199,7 +206,8 @@ def _vacuum_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> None:
     meta["avgdl"] = float(agg["a"] or 0.0)
 
 
-def _merge_generation_df(to_merge, doclens, next_gen: int, masked=None):
+def _merge_generation_df(to_merge, doclens, next_gen: int, masked=None,
+                         positions: bool = False):
     """Decode -> last-wins merge [-> drop tombstoned docs] -> re-encode
     each (term, shard) group.
 
@@ -228,10 +236,19 @@ def _merge_generation_df(to_merge, doclens, next_gen: int, masked=None):
             base = int(shard) * SHARD_WIDTH
             runs = []
             for row in grp.sort_values("gen").itertuples(index=False):
-                runs.append(decode_posting_list(
+                d_r, t_r = decode_posting_list(
                     bytes(row.doc_bytes), bytes(row.tf_bytes), base=base
-                ))
-            docs, tfs = merge_posting_runs(runs)
+                )
+                if positions:
+                    p_r = decode_positions(bytes(row.pos_bytes), t_r)
+                    runs.append((d_r, t_r, p_r))
+                else:
+                    runs.append((d_r, t_r))
+            if positions:
+                docs, tfs, pos = merge_posting_runs_with_pos(runs)
+            else:
+                docs, tfs = merge_posting_runs(runs)
+                pos = None
             if has_masked:
                 dval = grp.iloc[0]["deleted"]
                 if dval is not None and not (
@@ -240,15 +257,20 @@ def _merge_generation_df(to_merge, doclens, next_gen: int, masked=None):
                     dead = np.asarray(dval, dtype=np.int64)
                     if dead.size:
                         alive = ~np.isin(docs, dead, assume_unique=False)
+                        if pos is not None:
+                            pos = pos[gather_token_runs(
+                                np.flatnonzero(alive), tfs
+                            )]
                         docs, tfs = docs[alive], tfs[alive]
             if docs.shape[0] == 0:
                 continue
             dl_arr = vbyte_decode(bytes(grp.iloc[0].dl_bytes)).astype(np.int64)
             dls = dl_arr[docs - base]
             doc_b, tf_b, blk = encode_posting_list(docs, tfs, dls, base=base)
+            pos_b = encode_positions(pos, tfs) if pos is not None else None
             rows.append((
                 term, int(shard), next_gen, int(docs.shape[0]), int(tfs.sum()),
-                doc_b, tf_b,
+                doc_b, tf_b, pos_b,
                 blk.first.tolist(), blk.last.tolist(),
                 blk.max_tf.tolist(), blk.min_dl.tolist(),
                 blk.doc_off.tolist(), blk.tf_off.tolist(),

@@ -11,7 +11,11 @@ from __future__ import annotations
 import math
 from collections import Counter
 
-from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+from data_prep_opensearch_spark.functions.tokenize import (
+    PHRASE_TOKENIZERS,
+    TOKENIZERS,
+    tokenize_with_positions,
+)
 from data_prep_opensearch_spark.operators.bm25 import bm25_tf_term, idf
 
 
@@ -20,6 +24,13 @@ class OracleIndex:
         self.tokenizer = tokenizer
         tok = TOKENIZERS[tokenizer]
         self.tf: dict[int, Counter] = {d: Counter(tok(c or "")) for d, c in docs.items()}
+        # positional twin: term -> doc -> sorted within-doc positions
+        # (index semantics: tokenize_with_positions)
+        self.pos: dict[str, dict[int, list[int]]] = {}
+        for d, c in docs.items():
+            toks, poss = tokenize_with_positions(c or "", tokenizer)
+            for t, p in zip(toks, poss):
+                self.pos.setdefault(t, {}).setdefault(d, []).append(p)
         self.doclen = {d: sum(c.values()) for d, c in self.tf.items()}
         self.n_docs = len(docs)
         self.avgdl = (sum(self.doclen.values()) / self.n_docs) if self.n_docs else 0.0
@@ -45,7 +56,10 @@ class OracleIndex:
         )
 
         tok = TOKENIZERS[self.tokenizer]
-        literals, prefixes, neg_lit, neg_pre = parse_query(query, tok)
+        literals, prefixes, neg_lit, neg_pre, phrases, neg_phrases = (
+            parse_query(query, tok,
+                        phrase_tok=PHRASE_TOKENIZERS[self.tokenizer])
+        )
 
         def _expand(stem: str) -> list[str]:
             exp = sorted(
@@ -64,7 +78,9 @@ class OracleIndex:
         excluded: set[int] = set()
         for t in negs:
             excluded.update(d for d, _ in self.postings.get(t, []))
-        msm = resolve_msm(min_should_match, len(clauses))
+        for ph in neg_phrases:
+            excluded.update(self._phrase_freq(ph))
+        msm = resolve_msm(min_should_match, len(clauses) + len(phrases))
         terms = sorted({t for cl in clauses for t in cl})
         scores: dict[int, float] = {}
         matched: dict[int, set[int]] = {}
@@ -79,12 +95,40 @@ class OracleIndex:
                     float(tf), float(self.doclen[d]), self.avgdl
                 )
                 matched.setdefault(d, set()).update(cids)
+        for pi, ph in enumerate(phrases):
+            w = sum(idf(self.n_docs, self.df[t]) for t in ph)
+            for d, pf in self._phrase_freq(ph).items():
+                scores[d] = scores.get(d, 0.0) + w * bm25_tf_term(
+                    float(pf), float(self.doclen[d]), self.avgdl
+                )
+                matched.setdefault(d, set()).add(len(clauses) + pi)
         ranked = sorted(
             ((d, s) for d, s in scores.items()
              if len(matched[d]) >= msm and d not in excluded),
             key=lambda x: (-x[1], x[0]),
         )
         return ranked[:k]
+
+    def _phrase_freq(self, ph: list[str]) -> dict[int, int]:
+        """doc -> number of DISTINCT start positions where the terms of
+        ``ph`` occur at consecutive positions (the engine's phrase_freq
+        semantics, set arithmetic instead of numpy)."""
+        maps = [self.pos.get(t) for t in ph]
+        if any(m is None for m in maps):
+            return {}
+        cand = set(maps[0])
+        for m in maps[1:]:
+            cand &= set(m)
+        out: dict[int, int] = {}
+        for d in cand:
+            starts = set(maps[0][d])
+            for i, m in enumerate(maps[1:], 1):
+                starts &= {p - i for p in m[d]}
+                if not starts:
+                    break
+            if starts:
+                out[d] = len(starts)
+        return out
 
 
 def reference_query_set() -> list[dict]:

@@ -422,6 +422,177 @@ def ft_bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_topk_to_external(topk, spark, index_dir)
 
 
+PHRASE_TERMS = ["merge", "sort"]
+PHRASE_LITERAL = "batch"
+
+
+def _bm25_phrase_sql(phrase: list[str], literals: list[str], k: int) -> str:
+    """BM25 with one PHRASE clause (match_phrase semantics): the phrase
+    contributes ``(Σ idf of its terms) * tf_term(phrase_freq, dl)``
+    where phrase_freq counts consecutive-position occurrences — plus
+    ordinary term clauses for the literals. DuckDB computes phrase_freq
+    with a list lambda over the 1-based token array: start positions i
+    where toks[i..i+len-1] equals the phrase."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    lit_list = ", ".join(f"'{t}'" for t in sorted(set(literals)))
+    ph_list = ", ".join(f"'{t}'" for t in sorted(set(phrase)))
+    cond = " AND ".join(
+        f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9_]+)', 1) AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    pf AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(toks)), i -> {cond})) AS pf
+      FROM base
+    ),
+    phw AS (
+      SELECT sum(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)) AS w
+      FROM dft CROSS JOIN stats WHERE dft.term IN ({ph_list})
+    ),
+    q AS (SELECT unnest([{lit_list}]) AS term),
+    contrib AS (
+      SELECT tf.doc_id AS doc_id,
+             ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl))) AS c
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      UNION ALL
+      SELECT pf.doc_id AS doc_id,
+             phw.w * (pf.pf * ({K1} + 1.0))
+             / (pf.pf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl))) AS c
+      FROM pf
+      JOIN dl ON pf.doc_id = dl.doc_id
+      CROSS JOIN stats CROSS JOIN phw
+      WHERE pf.pf > 0
+    )
+    SELECT doc_id, round(sum(c), 4) AS score
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_phrase_topk",
+    _bm25_phrase_sql(PHRASE_TERMS, [PHRASE_LITERAL], BM25_K),
+    covers=["O7 phrase (match_phrase) query — declarative positional "
+            "twin: posexplode + consecutive-position equi-join chain"],
+)
+def ft_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`\"merge sort\" batch` as a PURE CATALYST plan: posexplode keeps
+    token positions, the phrase is an equi-join chain on (doc_id,
+    pos - offset) — occurrence i of term j survives iff every other
+    phrase term sits at its consecutive position — and phrase_freq
+    scores through the same BM25 tf-normalization as a term, weighted
+    by the phrase terms' summed idf (Lucene PhraseQuery weighting).
+    No UDF anywhere; the join chain broadcasts nothing data-dependent
+    and shuffles only (doc_id, pos) pairs of the PHRASE terms."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    phrase, literals = PHRASE_TERMS, [PHRASE_LITERAL]
+    tok = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.avg(1.0 * F.col("dl")).alias("avgdl"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # phrase start positions: chain of co-keyed joins on (doc_id, p)
+    ph = tok.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p")
+    )
+    for i, t in enumerate(phrase[1:], 1):
+        nxt = tok.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p")
+        )
+        ph = ph.join(nxt, ["doc_id", "p"], "inner")
+    pf = ph.groupBy("doc_id").agg(F.count("*").alias("pf"))
+
+    idf_expr = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    phw = (
+        dft.filter(F.col("term").isin(phrase))
+        .crossJoin(F.broadcast(stats))
+        .agg(F.sum(idf_expr).alias("w"))
+    )
+    qdf = spark.createDataFrame([(t,) for t in sorted(set(literals))], ["term"])
+    lit_contrib = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf_expr
+                * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl"))))
+            ).alias("c"),
+        )
+    )
+    ph_contrib = (
+        pf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(phw))
+        .select(
+            "doc_id",
+            (
+                F.col("w")
+                * (F.col("pf") * (K1 + 1.0))
+                / (F.col("pf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl"))))
+            ).alias("c"),
+        )
+    )
+    return (
+        lit_contrib.unionByName(ph_contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+@register(
+    "ft_bm25_phrase_engine_topk",
+    _bm25_phrase_sql(PHRASE_TERMS, [PHRASE_LITERAL], BM25_K),
+    covers=["O7 phrase (match_phrase) query — positional segment engine: "
+            "pos_bytes stream, numpy start-position intersection"],
+)
+def ft_bm25_phrase_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query on the SEGMENT ENGINE: the positional sidecar
+    stream (pos_bytes) decodes only for the phrase terms, start
+    positions intersect as (doc-rank, position) composite keys, and the
+    phrase scores as one clause next to the literal. Oracle identical
+    to the declarative twin — both must hash-match it."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(
+        spark, index_dir,
+        f'"{PHRASE_TERMS[0]} {PHRASE_TERMS[1]}" {PHRASE_LITERAL}', BM25_K,
+    )
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
 @register(
     "ft_bm25_prefix_topk",
     _bm25_prefix_sql(["key"], "s", 4, BM25_K),

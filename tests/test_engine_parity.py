@@ -485,25 +485,61 @@ def test_parse_query_shapes():
     """parse_query: trailing-* chunks become prefix stems through the
     tokenizer (a compound stem keeps its leading tokens literal);
     '-'-prefixed chunks feed the must_not sets; '*' alone and empty
-    stems are dropped; everything else tokenizes wholesale."""
-    from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+    stems are dropped; quoted chunks become phrase clauses (single-token
+    phrases collapse to literals); everything else tokenizes wholesale."""
+    from data_prep_opensearch_spark.functions.tokenize import (
+        PHRASE_TOKENIZERS,
+        TOKENIZERS,
+    )
     from data_prep_opensearch_spark.operators.bm25 import parse_query
 
-    lits, prefs, nl, np_ = parse_query("foo bar*", TOKENIZERS["simple"])
+    lits, prefs, nl, np_, ph, nph = parse_query("foo bar*", TOKENIZERS["simple"])
     assert lits == ["foo"] and prefs == ["bar"] and nl == [] and np_ == []
-    lits, prefs, nl, np_ = parse_query("data.pre* plain", TOKENIZERS["code"])
+    assert ph == [] and nph == []
+    lits, prefs, nl, np_, ph, nph = parse_query("data.pre* plain", TOKENIZERS["code"])
     assert prefs == ["pre"] and "data" in lits and "plain" in lits
-    lits, prefs, nl, np_ = parse_query("* foo", TOKENIZERS["simple"])
+    lits, prefs, nl, np_, ph, nph = parse_query("* foo", TOKENIZERS["simple"])
     assert lits == ["foo"] and prefs == []
-    lits, prefs, nl, np_ = parse_query("FOO*", TOKENIZERS["simple"])
+    lits, prefs, nl, np_, ph, nph = parse_query("FOO*", TOKENIZERS["simple"])
     assert lits == [] and prefs == ["foo"]
-    lits, prefs, nl, np_ = parse_query("foo -bar -baz*", TOKENIZERS["simple"])
+    lits, prefs, nl, np_, ph, nph = parse_query("foo -bar -baz*", TOKENIZERS["simple"])
     assert lits == ["foo"] and prefs == []
     assert nl == ["bar"] and np_ == ["baz"]
     # '-' alone is not a negation marker; a negated compound under the
     # code tokenizer negates every produced token
-    lits, prefs, nl, np_ = parse_query("- -a.b* x", TOKENIZERS["code"])
+    lits, prefs, nl, np_, ph, nph = parse_query("- -a.b* x", TOKENIZERS["code"])
     assert "x" in lits and nl == ["a"] and np_ == ["b"]
+
+
+def test_parse_query_phrases():
+    from data_prep_opensearch_spark.functions.tokenize import (
+        PHRASE_TOKENIZERS,
+        TOKENIZERS,
+    )
+    from data_prep_opensearch_spark.operators.bm25 import parse_query
+
+    tok = TOKENIZERS["simple"]
+    lits, prefs, nl, np_, ph, nph = parse_query('x "foo bar" -"baz qux"', tok)
+    assert lits == ["x"] and ph == [["foo", "bar"]] and nph == [["baz", "qux"]]
+    # single-token phrase collapses to a literal; empty phrase dropped
+    lits, _, nl, _, ph, nph = parse_query('"foo" -"bar" "" y', tok)
+    assert sorted(lits) == ["foo", "y"] and nl == ["bar"]
+    assert ph == [] and nph == []
+    # unpaired quote chars just tokenize away
+    lits, _, _, _, ph, _ = parse_query('"open foo bar', tok)
+    assert sorted(lits) == ["bar", "foo", "open"] and ph == []
+    # phrase + prefix + must_not coexist
+    lits, prefs, nl, np_, ph, nph = parse_query(
+        '"quick brown" lazy* -dog', tok
+    )
+    assert ph == [["quick", "brown"]] and prefs == ["lazy"] and nl == ["dog"]
+    # code tokenizer: phrase bodies analyze to WHOLE identifiers (no
+    # sub-token injection — consecutive-position semantics)
+    lits, _, _, _, ph, _ = parse_query(
+        '"parseJson loadData" other', TOKENIZERS["code"],
+        phrase_tok=PHRASE_TOKENIZERS["code"],
+    )
+    assert ph == [["parsejson", "loaddata"]]
 
 
 
