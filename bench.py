@@ -193,7 +193,7 @@ def probe_cpu_rates() -> dict[int, float]:
 
 
 def build_once_subprocess(
-    cores: int, n_docs: int, src_dir: str
+    cores: int, n_docs: int, src_dir: str, positions: bool = True
 ) -> tuple[float, float, float | None, float | None]:
     """Run one timed build in a fresh process/JVM (session churn inside
     one JVM contaminates timings), pinned to CPUS_PER_SLOT x cores CPUs
@@ -207,6 +207,8 @@ def build_once_subprocess(
     meters cannot see (e.g. a serial phase vs external contention)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--build-once",
            str(cores), str(n_docs), src_dir]
+    if not positions:
+        cmd.append("nopos")
     meter_cmd = [sys.executable, "-c", _METER_CODE]
     have_taskset = bool(shutil.which("taskset"))
     n_machine = os.cpu_count() or 1
@@ -374,7 +376,8 @@ def _scratch_root() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
-def _build_once_main(cores: int, n_docs: int, src_dir: str) -> None:
+def _build_once_main(cores: int, n_docs: int, src_dir: str,
+                     positions: bool = True) -> None:
     from data_prep_opensearch_spark.operators.index_build import build_index
     from data_prep_opensearch_spark.session import get_spark
 
@@ -392,7 +395,8 @@ def _build_once_main(cores: int, n_docs: int, src_dir: str) -> None:
         src = spark.read.parquet(src_dir)
         c0 = _tree_cpu_sec()
         t0 = time.monotonic()
-        build_index(spark, src, d, n_shards=N_SHARDS, n_groups=1)
+        build_index(spark, src, d, n_shards=N_SHARDS, n_groups=1,
+                    positions=positions)
         wall = time.monotonic() - t0
         print(f"WALL {wall:.3f}")
         print(f"CPUSEC {_tree_cpu_sec() - c0:.1f}")
@@ -515,6 +519,26 @@ def _run_scaling_section(corpus_dir: str) -> dict:
     gated = eff_from(clean)
     headline = gated if gated is not None else raw
     eff, t_lo, t_hi = headline
+
+    # positional-stream attribution receipt (round 5 stores pos_bytes by
+    # default — INDEX_FORMAT_VERSION 4): ONE extra high-level build
+    # without positions quantifies the throughput cost of the phrase
+    # stream, so an r4->r5 docs/sec delta on the record is attributed to
+    # the feature rather than read as a regression
+    try:
+        np_wall, np_rate, _, _ = build_once_subprocess(
+            high, CORPUS_DOCS, corpus_dir, positions=False)
+        np_norm = norm(np_wall, np_rate)
+        nopos = {
+            "hi_wall_nopos": round(np_wall, 1),
+            "hi_wall_nopos_normalized": round(np_norm, 2),
+            "positions_overhead_pct": round(100.0 * (t_hi / np_norm - 1), 1),
+            "note": "builds above store the positional (phrase) stream; "
+                    "overhead = normalized hi-level wall with positions "
+                    "vs this one without",
+        }
+    except Exception as exc:  # receipt only — never sink the section
+        nopos = {"error": str(exc)[:300]}
     pair_eff = [
         norm(p["lo_wall"], p["lo_rate"])
         / ((high / LOW) * norm(p["hi_wall"], p["hi_rate"]))
@@ -571,6 +595,7 @@ def _run_scaling_section(corpus_dir: str) -> dict:
             "headline = gated (clean pairs only)" if gated is not None
             else "NO clean pair within the retry budget; headline = raw"
         ),
+        "positions_receipt": nopos,
     }
 
 
@@ -875,7 +900,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build-once":
-        _build_once_main(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        _build_once_main(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                         positions="nopos" not in sys.argv[5:])
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         # section 1 alone, against an already-staged corpus dir
         print("SCALINGJSON " + json.dumps(_run_scaling_section(sys.argv[2])))

@@ -48,7 +48,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="skip the positional (phrase-query) stream: "
                         "smaller index, phrase queries unavailable")
 
-    q = sub.add_parser("query")
+    q = sub.add_parser(
+        "query",
+        description="Query syntax: bare terms (OR), stem* prefix, "
+                    '-term / -stem* must_not, "exact phrase", '
+                    '"a b"~N ordered-proximity slop, -"..." negated '
+                    "phrase; combine with --msm for m-of-n / AND.",
+    )
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)

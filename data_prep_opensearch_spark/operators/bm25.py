@@ -69,7 +69,34 @@ def bm25_upper_bound(idf_t: float, max_tf: int, min_dl: int, avgdl: float) -> fl
     return idf_t * bm25_tf_term(float(max_tf), float(min_dl), avgdl)
 
 
-_PHRASE_RE = re.compile(r'(-?)"([^"]*)"')
+_PHRASE_RE = re.compile(r'(-?)"([^"]*)"(~\d+)?')
+
+
+class Phrase(list):
+    """A phrase clause: a list of terms plus a ``slop`` window.
+
+    Subclassing ``list`` keeps every ``for t in ph`` /
+    ``all(... for t in ph)`` site oblivious to slop. ``slop`` is the
+    proximity budget: the phrase matches at start position p1 when an
+    ORDERED chain of strictly-increasing positions exists whose total
+    gap ``(p_n - p1) - (n-1)`` is at most ``slop`` (slop=0 is the exact
+    consecutive phrase). phrase_freq counts DISTINCT start positions
+    with a feasible chain — a deliberate, documented simplification of
+    Lucene's sloppy-freq (which weights each match 1/(distance+1) and
+    allows out-of-order terms at higher cost); ordered-window semantics
+    keep the scorer exact-integer and the SQL oracle expressible.
+    """
+
+    __slots__ = ("slop",)
+
+    def __init__(self, terms=(), slop: int = 0):
+        super().__init__(terms)
+        self.slop = int(slop)
+
+    # pickle (mapInPandas closures): list contents travel via the
+    # listitems iterator; carry slop through explicit state
+    def __reduce__(self):
+        return (Phrase, (list(self), self.slop))
 
 
 def parse_query(
@@ -83,9 +110,11 @@ def parse_query(
     is analyzed with ``phrase_tok`` (default ``tok``; the engine passes
     the whole-identifier analyzer under the 'code' tokenizer, because a
     phrase is a consecutive-position pattern and injected sub-tokens
-    share their parent's position). A single-token phrase collapses to
-    a literal; ``-"..."`` negates the phrase (must_not). Unpaired
-    quotes are not token characters and simply tokenize away.
+    share their parent's position). ``"..."~N`` sets the phrase's slop
+    (ordered proximity window, see :class:`Phrase`). A single-token
+    phrase collapses to a literal; ``-"..."`` negates the phrase
+    (must_not). Unpaired quotes are not token characters and simply
+    tokenize away.
 
     A whitespace chunk ending in ``*`` is a PREFIX clause: its stem is
     run through the tokenizer, the last produced token becomes the
@@ -108,12 +137,13 @@ def parse_query(
     def _take_phrase(m: "re.Match[str]") -> str:
         toks = ptok(m.group(2))
         neg = m.group(1) == "-"
+        slop = int(m.group(3)[1:]) if m.group(3) else 0
         if not toks:
             pass
         elif len(toks) == 1:
             (neg_literals if neg else literals).append(toks[0])
         else:
-            (neg_phrases if neg else phrases).append(toks)
+            (neg_phrases if neg else phrases).append(Phrase(toks, slop))
         return " "
 
     query = _PHRASE_RE.sub(_take_phrase, query)
@@ -770,7 +800,7 @@ class BM25Engine:
             if arrs is None:
                 phrase_hits.append(np.zeros(0, np.int64))
                 continue
-            pdocs, pf = _phrase_freqs(arrs)
+            pdocs, pf = _phrase_freqs(arrs, slop=getattr(ph, 'slop', 0))
             phrase_hits.append(pdocs)
             if pdocs.size:
                 d0, _, dl0, _ = self._local_pos[ph[0]]
@@ -826,7 +856,7 @@ class BM25Engine:
                 arrs.append((v[0], v[1], v[3]))
             if arrs is None:
                 continue
-            pdocs, _ = _phrase_freqs(arrs)
+            pdocs, _ = _phrase_freqs(arrs, slop=getattr(ph, 'slop', 0))
             if pdocs.size:
                 alive = ~np.isin(uniq, pdocs)
                 uniq, scores = uniq[alive], scores[alive]
@@ -1105,19 +1135,26 @@ _POSK = np.int64(1) << np.int64(32)  # (doc-rank, position) composite key
 
 def _phrase_freqs(
     arrays: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    slop: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact phrase matching over positional postings.
+    """Exact / ordered-proximity phrase matching over positional
+    postings.
 
     ``arrays[i]`` = (sorted unique doc_ids, tfs, flat posting-major
     positions) for the i-th phrase term. Returns (docs, phrase_freq)
-    for docs containing the terms at consecutive positions; freq counts
-    DISTINCT start positions (sub-tokens sharing a position under the
-    'code' tokenizer can't double-count an occurrence).
+    for docs matching the phrase; freq counts DISTINCT start positions
+    (sub-tokens sharing a position under the 'code' tokenizer can't
+    double-count an occurrence).
 
-    All-numpy: intersect candidate docs, then per term build
-    (doc_rank * 2^32 + position - i) keys and intersect those — the
-    survivors are phrase start positions. Positions are < 2^32 and
-    per-shard candidate counts < 2^31, so the composite key is exact.
+    ``slop=0`` (exact): per term build (doc_rank * 2^32 + position - i)
+    keys and intersect — the survivors are phrase start positions.
+    ``slop>0`` (ordered window, :class:`Phrase` semantics): greedy
+    chain extension — from each start, each next term takes its
+    SMALLEST position strictly beyond the chain end (searchsorted on
+    the term's sorted composite keys); greedy minimizes the final end,
+    so a start matches iff its greedy chain's total gap is within
+    ``slop``. Positions are < 2^32 and per-shard candidate counts
+    < 2^31, so the composite key is exact. All-numpy either way.
     """
     empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     cand = arrays[0][0]
@@ -1125,6 +1162,8 @@ def _phrase_freqs(
         cand = cand[np.isin(cand, d, assume_unique=True)]
         if cand.size == 0:
             return empty
+    if slop > 0:
+        return _phrase_freqs_slop(arrays, cand, slop)
     surv: np.ndarray | None = None
     for i, (d, t, p) in enumerate(arrays):
         sel = np.flatnonzero(np.isin(d, cand, assume_unique=True))
@@ -1142,6 +1181,47 @@ def _phrase_freqs(
         if surv.size == 0:
             return empty
     pf = np.bincount((surv // _POSK).astype(np.int64), minlength=cand.size)
+    nz = np.flatnonzero(pf)
+    return cand[nz], pf[nz].astype(np.int64)
+
+
+def _phrase_freqs_slop(
+    arrays: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    cand: np.ndarray,
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy ordered-chain matcher for ``slop > 0`` (see
+    :func:`_phrase_freqs`). ``cand`` is the already-intersected doc set.
+    """
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    keyss: list[np.ndarray] = []
+    for d, t, p in arrays:
+        sel = np.flatnonzero(np.isin(d, cand, assume_unique=True))
+        pos_sel = p[gather_token_runs(sel, t)]
+        rank_tok = np.repeat(
+            np.searchsorted(cand, d[sel]), t[sel]
+        ).astype(np.int64)
+        keys = rank_tok * _POSK + pos_sel
+        keys.sort()
+        keyss.append(keys)
+    starts = np.unique(keyss[0])
+    rank = starts // _POSK
+    end = starts
+    for keys in keyss[1:]:
+        idx = np.searchsorted(keys, end + 1)
+        valid = idx < keys.size
+        nxt = keys[np.minimum(idx, keys.size - 1)]
+        valid &= (nxt // _POSK) == rank
+        starts, rank = starts[valid], rank[valid]
+        end = nxt[valid]
+        if starts.size == 0:
+            return empty
+    # same doc throughout, so end - start == pos_n - pos_1 exactly
+    ok = (end - starts) - (len(arrays) - 1) <= slop
+    rank = rank[ok]
+    if rank.size == 0:
+        return empty
+    pf = np.bincount(rank.astype(np.int64), minlength=cand.size)
     nz = np.flatnonzero(pf)
     return cand[nz], pf[nz].astype(np.int64)
 
@@ -1232,7 +1312,7 @@ def _score_shard_phrase(
     for ph in phrases:
         if any(t not in postings or postings[t][0].size == 0 for t in ph):
             continue
-        pdocs, pf = _phrase_freqs([postings[t] for t in ph])
+        pdocs, pf = _phrase_freqs([postings[t] for t in ph], slop=getattr(ph, 'slop', 0))
         if pdocs.size == 0:
             continue
         off = pdocs - base
@@ -1246,7 +1326,7 @@ def _score_shard_phrase(
     for ph in neg_phrases:
         if any(t not in postings or postings[t][0].size == 0 for t in ph):
             continue
-        pdocs, _ = _phrase_freqs([postings[t] for t in ph])
+        pdocs, _ = _phrase_freqs([postings[t] for t in ph], slop=getattr(ph, 'slop', 0))
         if pdocs.size:
             acc[pdocs - base] = 0.0
     if cnt is not None:

@@ -110,9 +110,16 @@ class OracleIndex:
         return ranked[:k]
 
     def _phrase_freq(self, ph: list[str]) -> dict[int, int]:
-        """doc -> number of DISTINCT start positions where the terms of
-        ``ph`` occur at consecutive positions (the engine's phrase_freq
-        semantics, set arithmetic instead of numpy)."""
+        """doc -> number of DISTINCT start positions matching the
+        phrase (the engine's phrase_freq semantics, pure python).
+        ``ph.slop`` (a :class:`bm25.Phrase`) > 0 switches to the
+        ordered-proximity window: a start matches when a strictly-
+        increasing chain of the terms exists with total gap
+        ``(p_n - p1) - (n-1) <= slop``; the greedy smallest-next chain
+        decides feasibility (it minimizes the final end)."""
+        import bisect
+
+        slop = getattr(ph, "slop", 0)
         maps = [self.pos.get(t) for t in ph]
         if any(m is None for m in maps):
             return {}
@@ -120,14 +127,32 @@ class OracleIndex:
         for m in maps[1:]:
             cand &= set(m)
         out: dict[int, int] = {}
+        if slop == 0:
+            for d in cand:
+                starts = set(maps[0][d])
+                for i, m in enumerate(maps[1:], 1):
+                    starts &= {p - i for p in m[d]}
+                    if not starts:
+                        break
+                if starts:
+                    out[d] = len(starts)
+            return out
         for d in cand:
-            starts = set(maps[0][d])
-            for i, m in enumerate(maps[1:], 1):
-                starts &= {p - i for p in m[d]}
-                if not starts:
-                    break
-            if starts:
-                out[d] = len(starts)
+            lists = [sorted(set(m[d])) for m in maps]
+            n_hit = 0
+            for p1 in lists[0]:
+                e = p1
+                feasible = True
+                for lst in lists[1:]:
+                    j = bisect.bisect_right(lst, e)
+                    if j == len(lst):
+                        feasible = False
+                        break
+                    e = lst[j]
+                if feasible and (e - p1) - (len(ph) - 1) <= slop:
+                    n_hit += 1
+            if n_hit:
+                out[d] = n_hit
         return out
 
 

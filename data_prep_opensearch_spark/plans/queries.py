@@ -426,20 +426,32 @@ PHRASE_TERMS = ["merge", "sort"]
 PHRASE_LITERAL = "batch"
 
 
-def _bm25_phrase_sql(phrase: list[str], literals: list[str], k: int) -> str:
+def _bm25_phrase_sql(phrase: list[str], literals: list[str], k: int,
+                     slop: int = 0) -> str:
     """BM25 with one PHRASE clause (match_phrase semantics): the phrase
     contributes ``(Σ idf of its terms) * tf_term(phrase_freq, dl)``
     where phrase_freq counts consecutive-position occurrences — plus
     ordinary term clauses for the literals. DuckDB computes phrase_freq
     with a list lambda over the 1-based token array: start positions i
-    where toks[i..i+len-1] equals the phrase."""
+    where toks[i..i+len-1] equals the phrase. ``slop > 0`` (bigrams
+    only) switches to the engine's ordered-proximity window: start i
+    matches when the second term occurs at some j in (i, i+1+slop]."""
     from data_prep_opensearch_spark.operators.bm25 import B, K1
 
     lit_list = ", ".join(f"'{t}'" for t in sorted(set(literals)))
     ph_list = ", ".join(f"'{t}'" for t in sorted(set(phrase)))
-    cond = " AND ".join(
-        f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase)
-    )
+    if slop > 0:
+        if len(phrase) != 2:
+            raise ValueError("slop oracle SQL supports bigrams only")
+        cond = (
+            f"toks[i] = '{phrase[0]}' AND len(list_filter("
+            f"range(i+1, i+2+{slop}), j -> j <= len(toks) AND "
+            f"toks[j] = '{phrase[1]}')) > 0"
+        )
+    else:
+        cond = " AND ".join(
+            f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+        )
     return f"""
     WITH base AS (
       SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9_]+)', 1) AS toks
@@ -589,6 +601,35 @@ def ft_bm25_phrase_engine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = query_topk(
         spark, index_dir,
         f'"{PHRASE_TERMS[0]} {PHRASE_TERMS[1]}" {PHRASE_LITERAL}', BM25_K,
+    )
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
+PHRASE_SLOP = 2
+
+
+@register(
+    "ft_bm25_phrase_slop_topk",
+    _bm25_phrase_sql(PHRASE_TERMS, [PHRASE_LITERAL], BM25_K,
+                     slop=PHRASE_SLOP),
+    covers=["O7 sloppy-phrase (ordered proximity) query — greedy chain "
+            "over positional postings, window oracle in SQL"],
+)
+def ft_bm25_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`\"merge sort\"~2 batch` on the segment engine: the phrase
+    matches at any start whose ordered chain has total gap ≤ slop
+    (Phrase semantics — greedy smallest-next chain, all numpy), so it
+    admits up to two interleaving tokens and strictly widens the exact
+    match set. The SQL oracle recomputes the same window with a nested
+    list lambda."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(
+        spark, index_dir,
+        f'"{PHRASE_TERMS[0]} {PHRASE_TERMS[1]}"~{PHRASE_SLOP} '
+        f'{PHRASE_LITERAL}',
+        BM25_K,
     )
     return _engine_topk_to_external(topk, spark, index_dir)
 

@@ -241,3 +241,149 @@ def test_phrase_requires_positions(spark, tmp_root):
         eng.topk('"alpha beta"', 10).count()
     with pytest.raises(ValueError, match="positions"):
         eng.topk_local('"alpha beta"', 10)
+
+
+def test_parse_slop():
+    from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+    from data_prep_opensearch_spark.operators.bm25 import Phrase, parse_query
+
+    tok = TOKENIZERS["simple"]
+    lits, pre, nl, npre, phs, nphs = parse_query('"a b"~2 c -"d e"~1', tok)
+    assert lits == ["c"] and not pre and not nl and not npre
+    assert len(phs) == 1 and isinstance(phs[0], Phrase)
+    assert list(phs[0]) == ["a", "b"] and phs[0].slop == 2
+    assert len(nphs) == 1 and list(nphs[0]) == ["d", "e"] and nphs[0].slop == 1
+    # ~0 and no-suffix are the same exact phrase
+    _, _, _, _, p0, _ = parse_query('"a b"~0', tok)
+    _, _, _, _, p1, _ = parse_query('"a b"', tok)
+    assert p0[0].slop == 0 == p1[0].slop
+    # a Phrase survives pickling with its slop (mapInPandas closures)
+    import pickle
+
+    ph2 = pickle.loads(pickle.dumps(phs[0]))
+    assert isinstance(ph2, Phrase) and list(ph2) == ["a", "b"] and ph2.slop == 2
+
+
+def test_phrase_freqs_slop_kernel():
+    """The greedy slop kernel agrees with brute force on random
+    positional data, and slop-path(slop->huge) == bag-of-docs
+    intersection while slop=0 via the greedy path == the exact path."""
+    import numpy as np
+
+    from data_prep_opensearch_spark.operators.bm25 import (
+        _phrase_freqs,
+        _phrase_freqs_slop,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def mk(term_docs):
+        # term_docs: dict doc -> sorted positions
+        docs = np.array(sorted(term_docs), dtype=np.int64)
+        tfs = np.array([len(term_docs[d]) for d in docs], dtype=np.int64)
+        pos = np.concatenate(
+            [np.array(term_docs[d], dtype=np.int64) for d in docs]
+        ) if docs.size else np.zeros(0, np.int64)
+        return docs, tfs, pos
+
+    def brute(maps, slop):
+        out = {}
+        cand = set(maps[0])
+        for m in maps[1:]:
+            cand &= set(m)
+        for d in cand:
+            lists = [sorted(set(m[d])) for m in maps]
+            n = 0
+            for p1 in lists[0]:
+                # exhaustive chain search (not greedy) for ground truth
+                frontier = [p1]
+                for lst in lists[1:]:
+                    frontier = [q for e in frontier for q in lst if q > e]
+                    if not frontier:
+                        break
+                if frontier and min(frontier) - p1 - (len(maps) - 1) <= slop:
+                    n += 1
+            if n:
+                out[d] = n
+        return out
+
+    for trial in range(25):
+        n_terms = int(rng.integers(2, 4))
+        maps = []
+        for _ in range(n_terms):
+            m = {}
+            for d in rng.choice(40, size=rng.integers(3, 12), replace=False):
+                m[int(d)] = sorted(
+                    set(rng.integers(0, 30, size=rng.integers(1, 5)).tolist())
+                )
+            maps.append(m)
+        arrays = [mk(m) for m in maps]
+        for slop in (1, 2, 5):
+            got_d, got_f = _phrase_freqs(arrays, slop=slop)
+            exp = brute(maps, slop)
+            assert dict(zip(got_d.tolist(), got_f.tolist())) == exp, (
+                trial, slop, maps
+            )
+        # greedy path at slop large enough = ordered-chain existence
+        got_d, _ = _phrase_freqs(arrays, slop=10_000)
+        exp = brute(maps, 10_000)
+        assert sorted(got_d.tolist()) == sorted(exp)
+        # the exact (slop=0) kernel agrees with ground truth at slop=0,
+        # and the greedy kernel run AT slop=0 agrees with the exact one
+        e_d, e_f = _phrase_freqs(arrays)
+        assert dict(zip(e_d.tolist(), e_f.tolist())) == brute(maps, 0)
+        cand = arrays[0][0]
+        for d, _, _ in arrays[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+        if cand.size:
+            g_d, g_f = _phrase_freqs_slop(arrays, cand, slop=0)
+            assert dict(zip(g_d.tolist(), g_f.tolist())) == brute(maps, 0)
+
+
+def test_phrase_slop_parity_all_tiers(spark, built_index, oracle_index):
+    """Slop queries: engine tiers == oracle, and slop strictly widens
+    the exact-phrase match set."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    pdf = corpus_pandas(300)
+    toks0 = tokenize_simple(pdf.content.iloc[0])
+    toks7 = tokenize_simple(pdf.content.iloc[7])
+    # a gap-1 pair: exact phrase can't see it, ~1 must
+    gap_q = f'"{toks0[3]} {toks0[5]}"~1'
+    qs = [
+        gap_q,
+        f'"{toks0[3]} {toks0[4]}"~2',
+        f'"{toks7[10]} {toks7[12]}"~3 import',
+        f'"{toks7[10]} {toks7[11]} {toks7[13]}"~2',   # trigram window
+        f'-"{toks0[3]} {toks0[5]}"~1 {toks0[3]}',     # negated slop phrase
+    ]
+    batched = eng.topk_batch(qs, 10).collect()
+    by_q: dict[int, list] = {}
+    for r in batched:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (r["doc_id"], r["score"])
+        )
+    any_hits = False
+    for qi, q in enumerate(qs):
+        expected = oracle_index.query(q, 10)
+        any_hits = any_hits or bool(expected)
+        got_b = sorted(by_q.get(qi, []), key=lambda x: (-x[1], x[0]))
+        for tier, got in (
+            ("topk", [(r["doc_id"], r["score"])
+                      for r in eng.topk(q, 10).collect()]),
+            ("local", [(r["doc_id"], r["score"])
+                       for r in eng.topk_local(q, 10).collect()]),
+            ("batch", got_b),
+        ):
+            assert len(got) == len(expected), (tier, q, got, expected)
+            for (gd, gs), (ed, es) in zip(got, expected):
+                assert gd == ed, (tier, q, got, expected)
+                assert abs(gs - es) <= 1e-9, (tier, q, gd, gs, es)
+    assert any_hits
+    # widening invariant: matches(exact) subset matches("~2")
+    bg = f"{toks0[3]} {toks0[4]}"
+    exact = {r["doc_id"] for r in eng.topk(f'"{bg}"', 300).collect()}
+    slop2 = {r["doc_id"] for r in eng.topk(f'"{bg}"~2', 300).collect()}
+    assert exact <= slop2 and exact
