@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser(
         "query",
         description="Query syntax: bare terms (OR), stem* prefix, "
-                    '-term / -stem* must_not, "exact phrase", '
+                    "term~N fuzzy (N in 0..2; bare ~ = AUTO by length), "
+                    '-term / -stem* / -term~N must_not, "exact phrase", '
                     '"a b"~N ordered-proximity slop, -"..." negated '
                     "phrase; combine with --msm for m-of-n / AND.",
     )

@@ -99,6 +99,43 @@ class Phrase(list):
         return (Phrase, (list(self), self.slop))
 
 
+def auto_fuzziness(term: str) -> int:
+    """Elasticsearch ``AUTO`` fuzziness: 0 edits below 3 chars, 1 for
+    3-5 chars, 2 from 6 chars up (ES ``AUTO:3,6`` defaults)."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n < 6 else 2)
+
+
+class Fuzzy(str):
+    """A fuzzy stem: the term text plus its edit-distance budget.
+
+    Subclassing ``str`` lets fuzzy stems travel through the same
+    expansion-stem lists as prefix stems (every sort/set/str site is
+    oblivious); :meth:`BM25Engine._plan_clauses` dispatches on the type.
+    ``max_edits`` follows Lucene's FuzzyQuery bounds (0..2; the
+    Levenshtein-automata ceiling) — ``None`` resolves to ES ``AUTO``
+    by stem length.
+    """
+
+    __slots__ = ("max_edits",)
+
+    def __new__(cls, term: str, max_edits: int | None = None):
+        obj = super().__new__(cls, term)
+        n = auto_fuzziness(term) if max_edits is None else int(max_edits)
+        if not 0 <= n <= 2:
+            raise ValueError(
+                f"fuzzy max_edits must be 0..2 (Lucene bound), got {n}"
+            )
+        obj.max_edits = n
+        return obj
+
+    def __reduce__(self):
+        return (Fuzzy, (str(self), self.max_edits))
+
+
+_FUZZY_RE = re.compile(r"^(.+)~(\d*)$")
+
+
 def parse_query(
     query: str, tok, phrase_tok=None
 ) -> tuple[list[str], list[str], list[str], list[str],
@@ -119,12 +156,15 @@ def parse_query(
     A whitespace chunk ending in ``*`` is a PREFIX clause: its stem is
     run through the tokenizer, the last produced token becomes the
     prefix stem and any earlier ones (e.g. the ``foo`` of ``foo.bar*``
-    under the 'code' tokenizer) stay literal. A chunk starting with
-    ``-`` is a MUST_NOT clause (Lucene bool must_not): every token it
-    produces joins the exclusion set (its trailing-``*`` form negates
-    the stem's expansions). Everything else is tokenized wholesale
-    (the tokenizers are regex-findall, so joining chunks with a space
-    is lossless).
+    under the 'code' tokenizer) stay literal. A chunk ending in ``~``
+    or ``~N`` (N in 0..2, bare ``~`` = ES AUTO by length) is a FUZZY
+    clause: the last stem token becomes a :class:`Fuzzy` entry in the
+    prefix-stem list (``~0`` collapses to a literal). A chunk starting
+    with ``-`` is a MUST_NOT clause (Lucene bool must_not): every token
+    it produces joins the exclusion set (its trailing-``*`` / ``~N``
+    form negates the stem's expansions). Everything else is tokenized
+    wholesale (the tokenizers are regex-findall, so joining chunks with
+    a space is lossless).
     """
     literals: list[str] = []
     prefixes: list[str] = []
@@ -161,6 +201,19 @@ def parse_query(
             else:
                 literals.extend(stem_tokens[:-1])
                 prefixes.append(stem_tokens[-1])
+        elif (fm := _FUZZY_RE.match(body)) is not None:
+            stem_tokens = tok(fm.group(1))
+            if not stem_tokens:
+                continue
+            stem = Fuzzy(
+                stem_tokens[-1],
+                None if fm.group(2) == "" else int(fm.group(2)),
+            )
+            (neg_literals if neg else literals).extend(stem_tokens[:-1])
+            if stem.max_edits == 0:
+                (neg_literals if neg else literals).append(str(stem))
+            else:
+                (neg_prefixes if neg else prefixes).append(stem)
         elif neg:
             neg_literals.extend(tok(body))
         else:
@@ -479,10 +532,70 @@ class BM25Engine:
                 self._df_cache.setdefault(t, d)
         return self._prefix_cache[key]
 
+    def expand_fuzzy(
+        self, stem: str, max_edits: int,
+        max_expansions: int | None = None, prefix_length: int = 0,
+    ) -> list[tuple[str, int, int]]:
+        """Expand a fuzzy stem (Lucene FuzzyQuery): dictionary terms
+        within ``max_edits`` Levenshtein distance of ``stem``, as one
+        filtered aggregate over the term-sorted segment files. The scan
+        pre-filters on the length window (|len(term) - len(stem)| <=
+        max_edits, a codegen'd JVM filter) and computes the distance
+        with the thresholded built-in (early-exits past the budget);
+        expansions whose similarity boost ``1 - dist/min(|term|,
+        |stem|)`` is not positive are dropped (they would contribute
+        nothing — arises only when max_edits reaches the shorter
+        length). The cap keeps the clause bounded: distance-asc first
+        (Lucene's closest-first rewrite), df desc, term asc.
+
+        Scale note: unlike ``expand_prefix`` (whose StringStartsWith
+        prunes row groups), a 0-prefix fuzzy scan reads the whole
+        dictionary column — the same cost Lucene accepts for
+        ``prefix_length=0``. Pass ``prefix_length >= 1`` to pin the
+        first chars and restore min/max row-group pruning (the exact
+        knob Lucene/ES expose for the same reason).
+
+        Returns [(term, global_df, distance), ...]; cached per
+        (stem, budget) until the next index mutation."""
+        cap = self.MAX_EXPANSIONS if max_expansions is None else max_expansions
+        key = ("~", stem, max_edits, cap, prefix_length)
+        if key not in self._prefix_cache:
+            cond = F.length("term").between(
+                len(stem) - max_edits, len(stem) + max_edits
+            )
+            if prefix_length > 0:
+                cond &= F.col("term").startswith(stem[:prefix_length])
+            boost = 1.0 - F.col("dist") / F.least(
+                F.length("term"), F.lit(len(stem))
+            )
+            rows = (
+                self.seg.filter(cond)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .withColumn(
+                    "dist",
+                    F.levenshtein(F.col("term"), F.lit(stem), max_edits),
+                )
+                .filter((F.col("dist") >= 0) & (boost > 0))
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(cap)
+                .collect()
+            )
+            exp = [(r["term"], int(r["df"]), int(r["dist"])) for r in rows]
+            self._prefix_cache[key] = exp
+            for t, d, _ in exp:
+                self._df_cache.setdefault(t, d)
+        return self._prefix_cache[key]
+
+    @staticmethod
+    def _fuzzy_boost(term: str, stem: str, dist: int) -> float:
+        """Lucene FuzzyTermsEnum similarity boost for an expansion."""
+        return 1.0 - dist / min(len(term), len(stem))
+
     def _plan_clauses(
         self, query: str, max_expansions: int | None = None
     ) -> tuple[list[list[str]], int, list[str],
-               list[list[str]], list[list[str]]]:
+               list[list[str]], list[list[str]], dict[str, float]]:
         """Parse a query into CLAUSES: each literal term is one clause;
         each `stem*` prefix is ONE clause whose members are its (capped)
         dictionary expansions — so under min_should_match a prefix counts
@@ -505,15 +618,47 @@ class BM25Engine:
             parse_query(query, tok, phrase_tok=PHRASE_TOKENIZERS[mode])
         )
         clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
-        for stem in sorted(set(prefixes)):
-            clauses.append(
-                [t for t, _ in self.expand_prefix(stem, max_expansions)]
-            )
+        boosts: dict[str, float] = {}
+        exact_terms: set[str] = set(literals)
+
+        def _dedup_stems(stems_in: list[str]) -> list[str]:
+            # Fuzzy subclasses str, so a plain set would collapse
+            # `foo*` with `foo~1` (equal text) — key by (text, budget)
+            seen: dict[tuple[str, int], str] = {}
+            for s in stems_in:
+                seen.setdefault((str(s), getattr(s, "max_edits", -1)), s)
+            return [seen[k] for k in sorted(seen)]
+
+        for stem in _dedup_stems(prefixes):
+            if isinstance(stem, Fuzzy):
+                exp = self.expand_fuzzy(stem, stem.max_edits,
+                                        max_expansions)
+                clauses.append([t for t, _, _ in exp])
+                for t, _, dist in exp:
+                    boosts[t] = max(
+                        boosts.get(t, 0.0), self._fuzzy_boost(t, stem, dist)
+                    )
+            else:
+                exp_p = [t for t, _ in
+                         self.expand_prefix(stem, max_expansions)]
+                clauses.append(exp_p)
+                exact_terms.update(exp_p)
         negs: set[str] = set(neg_lit)
-        for stem in sorted(set(neg_pre)):
-            negs.update(
-                t for t, _ in self.expand_prefix(stem, max_expansions)
-            )
+        for stem in _dedup_stems(neg_pre):
+            if isinstance(stem, Fuzzy):
+                negs.update(t for t, _, _ in self.expand_fuzzy(
+                    stem, stem.max_edits, max_expansions))
+            else:
+                negs.update(t for t, _ in
+                            self.expand_prefix(stem, max_expansions))
+        # a term reachable through several clauses scores ONCE with its
+        # maximal weight (literal/prefix membership = 1.0) — deliberate
+        # divergence from Lucene's per-clause summing, keeping one
+        # posting-scan row per term; only sub-1.0 weights are kept
+        boosts = {
+            t: b for t, b in boosts.items()
+            if t not in exact_terms and b < 1.0
+        }
         n_clauses = len(clauses) + len(phrases)
         flat = sorted(
             {t for cl in clauses for t in cl} | negs
@@ -529,6 +674,7 @@ class BM25Engine:
             sorted(t for t in negs if df_map[t] > 0),
             [ph for ph in phrases if all(df_map[t] > 0 for t in ph)],
             [ph for ph in neg_phrases if all(df_map[t] > 0 for t in ph)],
+            boosts,
         )
 
     @staticmethod
@@ -675,8 +821,8 @@ class BM25Engine:
                 return pdf.reset_index(drop=True)
             return spark.createDataFrame(pdf, TOPK_SCHEMA)
 
-        clauses, n_clauses, negs, phrases, neg_phrases = self._plan_clauses(
-            query, max_expansions
+        clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
+            self._plan_clauses(query, max_expansions)
         )
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
@@ -786,7 +932,8 @@ class BM25Engine:
             if docs.size:
                 parts_d.append(docs)
                 parts_c.append(
-                    idf(n_docs, df_map[t]) * bm25_tf_term(tfs, dls, avgdl)
+                    idf(n_docs, df_map[t]) * boosts.get(t, 1.0)
+                    * bm25_tf_term(tfs, dls, avgdl)
                 )
         phrase_hits: list[np.ndarray] = []
         for ph in phrases:
@@ -899,8 +1046,8 @@ class BM25Engine:
         fallback when nothing is skippable."""
         self._maybe_refresh()
         spark = self.spark
-        clauses, n_clauses, negs, phrases, neg_phrases = self._plan_clauses(
-            query, max_expansions
+        clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
+            self._plan_clauses(query, max_expansions)
         )
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
@@ -916,7 +1063,10 @@ class BM25Engine:
         if (not terms and not phrases) or len(clauses) + len(phrases) < msm:
             return spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
-        idf_map = {t: idf(n_docs, df_map[t]) for t in terms + pterms}
+        # fuzzy similarity boosts fold into the per-term weights the
+        # scorers consume; phrase clauses weight with the UNBOOSTED idf
+        idf_raw = {t: idf(n_docs, df_map[t]) for t in terms + pterms}
+        idf_map = {t: w * boosts.get(t, 1.0) for t, w in idf_raw.items()}
 
         if phrases or neg_phrases:
             # phrase queries read the positional twin; the dedicated
@@ -924,6 +1074,7 @@ class BM25Engine:
             scorer_fn = functools.partial(
                 _score_shard_phrase, msm=msm, clauses=clauses,
                 phrases=phrases, neg_phrases=neg_phrases,
+                phrase_idf=idf_raw,
             )
         elif msm > 1:
             cl_arg = None if all(len(c) == 1 for c in clauses) else clauses
@@ -991,7 +1142,8 @@ class BM25Engine:
 
         plans: list[tuple[list[str], dict[str, float], object, list[str]]] = []
         any_phrases = False
-        for clauses, n_clauses, negs, phrases, neg_phrases in clause_plans:
+        for clauses, n_clauses, negs, phrases, neg_phrases, boosts in (
+                clause_plans):
             msm = resolve_msm(min_should_match, n_clauses)
             ts = sorted({t for cl in clauses for t in cl})
             pts = sorted(
@@ -1002,12 +1154,15 @@ class BM25Engine:
             if (not ts and not phrases) or len(clauses) + len(phrases) < msm:
                 plans.append(([], {}, None, []))
                 continue
-            idf_map = {t: idf(n_docs, df_map[t]) for t in ts + pts}
+            idf_raw = {t: idf(n_docs, df_map[t]) for t in ts + pts}
+            idf_map = {t: w * boosts.get(t, 1.0)
+                       for t, w in idf_raw.items()}
             if phrases or neg_phrases:
                 any_phrases = True
                 fn = functools.partial(
                     _score_shard_phrase, msm=msm, clauses=clauses,
                     phrases=phrases, neg_phrases=neg_phrases,
+                    phrase_idf=idf_raw,
                 )
                 # the phrase scorer needs the phrase terms' rows in its
                 # slice of the shard group
@@ -1268,6 +1423,7 @@ def _score_shard_phrase(
     msm: int = 1, clauses: list[list[str]] | None = None,
     phrases: list[list[str]] | None = None,
     neg_phrases: list[list[str]] | None = None,
+    phrase_idf: dict[str, float] | None = None,
 ) -> pd.DataFrame:
     """Dense scorer for phrase-bearing queries. Term clauses accumulate
     BM25 exactly like :func:`_score_shard_dense`; each phrase clause
@@ -1275,7 +1431,10 @@ def _score_shard_phrase(
     Lucene's PhraseQuery-under-BM25 weighting — and counts once toward
     ``msm``. ``neg_phrases`` exclude their matching docs (must_not).
     Phrase candidates intersect the phrase terms' postings, so the
-    exhaustive accumulation is bounded by the rarest phrase term."""
+    exhaustive accumulation is bounded by the rarest phrase term.
+    ``phrase_idf`` (when given) supplies the UNBOOSTED idf for phrase
+    weighting — ``idf_map`` may carry fuzzy similarity boosts that must
+    not leak into a phrase clause sharing a term."""
     phrases = phrases or []
     neg_phrases = neg_phrases or []
     pos_terms = {t for ph in phrases for t in ph}
@@ -1317,7 +1476,7 @@ def _score_shard_phrase(
             continue
         off = pdocs - base
         dl = dl_arr[off]
-        w = sum(idf_map[t] for t in ph)
+        w = sum((phrase_idf or idf_map)[t] for t in ph)
         acc[off] += w * bm25_tf_term(
             pf.astype(np.float64), dl.astype(np.float64), avgdl
         )

@@ -19,6 +19,26 @@ from data_prep_opensearch_spark.functions.tokenize import (
 from data_prep_opensearch_spark.operators.bm25 import bm25_tf_term, idf
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Plain O(len(a)*len(b)) edit distance (insert/delete/substitute,
+    unit costs) — matches Spark's ``levenshtein`` and DuckDB's
+    ``levenshtein``; the oracle favors the obviously-correct DP over
+    the engine's thresholded built-in."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != cb),
+            ))
+        prev = cur
+    return prev[-1]
+
+
 class OracleIndex:
     def __init__(self, docs: dict[int, str], tokenizer: str = "simple") -> None:
         self.tokenizer = tokenizer
@@ -51,6 +71,7 @@ class OracleIndex:
         its (df-ranked, capped) dictionary matches, scored per expansion
         but counting once toward min_should_match."""
         from data_prep_opensearch_spark.operators.bm25 import (
+            Fuzzy,
             parse_query,
             resolve_msm,
         )
@@ -69,12 +90,51 @@ class OracleIndex:
             )[:max_expansions]
             return [t for t, _ in exp]
 
+        def _expand_fuzzy(stem: Fuzzy) -> list[tuple[str, float]]:
+            """Engine's expand_fuzzy rule: Levenshtein <= max_edits,
+            positive similarity boost, ranked (dist asc, df desc,
+            term asc), capped. Returns [(term, boost)]."""
+            cands = []
+            for t in self.postings:
+                if abs(len(t) - len(stem)) > stem.max_edits:
+                    continue
+                d = _levenshtein(t, str(stem))
+                if d > stem.max_edits:
+                    continue
+                b = 1.0 - d / min(len(t), len(stem))
+                if b <= 0:
+                    continue
+                cands.append((d, -self.df[t], t, b))
+            cands.sort()
+            return [(t, b) for _, _, t, b in cands[:max_expansions]]
+
+        def _stems(stems_in):
+            seen = {}
+            for s in stems_in:
+                seen.setdefault((str(s), getattr(s, "max_edits", -1)), s)
+            return [seen[k] for k in sorted(seen)]
+
         clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
-        for stem in sorted(set(prefixes)):
-            clauses.append(_expand(stem))
+        boosts: dict[str, float] = {}
+        exact_terms: set[str] = set(literals)
+        for stem in _stems(prefixes):
+            if isinstance(stem, Fuzzy):
+                exp_f = _expand_fuzzy(stem)
+                clauses.append([t for t, _ in exp_f])
+                for t, b in exp_f:
+                    boosts[t] = max(boosts.get(t, 0.0), b)
+            else:
+                exp_p = _expand(stem)
+                clauses.append(exp_p)
+                exact_terms.update(exp_p)
+        boosts = {t: b for t, b in boosts.items()
+                  if t not in exact_terms and b < 1.0}
         negs: set[str] = set(neg_lit)
-        for stem in sorted(set(neg_pre)):
-            negs.update(_expand(stem))
+        for stem in _stems(neg_pre):
+            if isinstance(stem, Fuzzy):
+                negs.update(t for t, _ in _expand_fuzzy(stem))
+            else:
+                negs.update(_expand(stem))
         excluded: set[int] = set()
         for t in negs:
             excluded.update(d for d, _ in self.postings.get(t, []))
@@ -88,7 +148,7 @@ class OracleIndex:
             plist = self.postings.get(t)
             if not plist:
                 continue
-            w = idf(self.n_docs, self.df[t])
+            w = idf(self.n_docs, self.df[t]) * boosts.get(t, 1.0)
             cids = [ci for ci, cl in enumerate(clauses) if t in cl]
             for d, tf in plist:
                 scores[d] = scores.get(d, 0.0) + w * bm25_tf_term(

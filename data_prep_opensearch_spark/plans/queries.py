@@ -362,6 +362,73 @@ def _bm25_prefix_sql(literals: list[str], stem: str, cap: int, k: int,
     """
 
 
+def _bm25_fuzzy_sql(literals: list[str], stem: str, max_edits: int,
+                    cap: int, k: int, msm: int = 1) -> str:
+    """BM25 with one FUZZY clause (Lucene FuzzyQuery): the stem expands
+    to dictionary terms within ``max_edits`` Levenshtein distance
+    (closest-first, df desc, term asc, capped — the engine's
+    ``expand_fuzzy`` rule), each weighted by the similarity boost
+    ``1 - dist/min(len(term), len(stem))``; a term reachable through
+    several clauses takes its MAX weight (a literal counts 1.0). The
+    msm gate counts clauses, the whole expansion set being one."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    lit_list = ", ".join(f"'{t}'" for t in sorted(set(literals)))
+    slen = len(stem)
+    boost = (f"1.0 - levenshtein(term, '{stem}') / "
+             f"least(length(term), {slen})")
+    gate = f"WHERE nclause.nc >= {msm}" if msm > 1 else ""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    exp AS (
+      SELECT term, {boost} AS boost
+      FROM dft
+      WHERE length(term) BETWEEN {slen - max_edits} AND {slen + max_edits}
+        AND levenshtein(term, '{stem}') <= {max_edits}
+        AND {boost} > 0
+      ORDER BY levenshtein(term, '{stem}') ASC, df DESC, term ASC
+      LIMIT {cap}
+    ),
+    q AS (
+      SELECT term, 1.0 AS boost, term AS clause
+      FROM (SELECT unnest([{lit_list}]) AS term)
+      UNION ALL
+      SELECT term, boost, 'fuzzy:{stem}' AS clause FROM exp
+    ),
+    qw AS (SELECT term, max(boost) AS w FROM q GROUP BY term),
+    nclause AS (
+      SELECT tf.doc_id, count(DISTINCT q.clause) AS nc
+      FROM tf JOIN q ON tf.term = q.term GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             round(sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * qw.w
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ), 4) AS score
+      FROM tf
+      JOIN qw ON tf.term = qw.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT scored.doc_id AS doc_id, scored.score AS score
+    FROM scored JOIN nclause ON scored.doc_id = nclause.doc_id
+    {gate}
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
 def _bm25_not_sql(literals: list[str], neg_stem: str, cap: int,
                   k: int) -> str:
     """BM25 with a MUST_NOT prefix clause: positives score normally; any
@@ -670,6 +737,28 @@ def ft_bm25_prefix_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ensure_docs_index(spark, sf_dir)
     topk = query_topk(spark, index_dir, "key s*", BM25_K,
                       min_should_match="all", max_expansions=4)
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
+@register(
+    "ft_bm25_fuzzy_topk",
+    _bm25_fuzzy_sql(["batch"], "qery", 2, 10, BM25_K),
+    covers=["O7 fuzzy (term~N) query — Levenshtein dictionary expansion "
+            "with Lucene similarity boosts, closest-first cap"],
+)
+def ft_bm25_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`qery~2 batch` on the segment engine: the misspelled stem expands
+    against the dictionary to terms within 2 edits (`query` at distance
+    1, boost 0.75; `key` at distance 2, boost 1/3) via one length-
+    windowed thresholded-Levenshtein aggregate, each expansion scoring
+    its boost-weighted BM25; `batch` is an ordinary literal clause. The
+    SQL oracle recomputes the expansion, boosts, and cap with DuckDB's
+    levenshtein()."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(spark, index_dir, "qery~2 batch", BM25_K,
+                      max_expansions=10)
     return _engine_topk_to_external(topk, spark, index_dir)
 
 
