@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--msm", default=None,
                    help="minimum-should-match: an int m (>= m of the "
                         "query's n distinct terms) or 'all' (pure AND)")
+    q.add_argument("--highlight-source", default=None, metavar="PARQUET",
+                   help="source parquet dir (repo,path,commit,content): "
+                        "attach a best-fragment <em> snippet per hit "
+                        "(unified-highlighter re-analyze mode)")
+    q.add_argument("--highlight-window", type=int, default=20,
+                   help="snippet window in tokens (default 20)")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -151,7 +157,41 @@ def main(argv: list[str] | None = None) -> int:
                               scorer=args.scorer,
                               min_should_match=msm,
                               max_expansions=args.max_expansions).collect()
-        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+        out = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+        if args.highlight_source and out:
+            from pyspark.sql import functions as F
+
+            from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+            from data_prep_opensearch_spark.operators.highlight import (
+                positive_terms,
+                with_highlights,
+            )
+            from data_prep_opensearch_spark.operators.manifest import (
+                read_doc_stats,
+            )
+
+            eng = BM25Engine(spark, args.index, cache=False)
+            terms = positive_terms(args.q, eng)
+            hits = spark.createDataFrame(
+                [(h["doc_id"],) for h in out], ["doc_id"]
+            )
+            stats = read_doc_stats(spark, args.index).join(
+                F.broadcast(hits), "doc_id"
+            )
+            src = spark.read.parquet(args.highlight_source)
+            joined = src.join(
+                F.broadcast(stats.select("doc_id", "repo", "path", "commit")),
+                ["repo", "path", "commit"],
+            )
+            hl = with_highlights(
+                joined, "content", terms,
+                tokenizer=eng.meta["tokenizer"],
+                window=args.highlight_window,
+            ).select("doc_id", "hl_snippet").collect()
+            snips = {r["doc_id"]: r["hl_snippet"] for r in hl}
+            for h in out:
+                h["snippet"] = snips.get(h["doc_id"])
+        print(json.dumps(out))
     elif args.cmd == "merge":
         from data_prep_opensearch_spark.operators.segment_merge import merge_segments
 

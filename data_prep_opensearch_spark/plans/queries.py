@@ -152,6 +152,74 @@ def _bm25_sql(relation: str, terms: list[str], k: int, msm: int = 1) -> str:
     """
 
 
+def _bm25_highlight_sql(terms: list[str], k: int, window: int) -> str:
+    """BM25 top-k + best-fragment highlight: for each hit, the window of
+    ``window`` tokens (anchored on a matched-term ordinal) containing
+    the most matched-term occurrences, ties to the earliest start — the
+    engine's ``highlight.best_window`` rule. The fragment is the
+    window's lowercase tokens joined by spaces (the canonical form both
+    sides share)."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9_]+)', 1) AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT unnest([{term_list}]) AS term),
+    topk AS (
+      SELECT tf.doc_id AS doc_id,
+             round(sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ), 4) AS score
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      ORDER BY score DESC, doc_id ASC
+      LIMIT {k}
+    ),
+    pos AS (
+      SELECT toks.doc_id, unnest(toks.toks) AS term,
+             generate_subscripts(toks.toks, 1) - 1 AS p
+      FROM toks JOIN topk ON toks.doc_id = topk.doc_id
+    ),
+    m AS (SELECT pos.doc_id, pos.p FROM pos JOIN q ON pos.term = q.term),
+    win AS (
+      SELECT a.doc_id, a.p AS s, count(*) AS nm
+      FROM m a JOIN m b
+        ON b.doc_id = a.doc_id AND b.p >= a.p AND b.p < a.p + {window}
+      GROUP BY a.doc_id, a.p
+    ),
+    best AS (
+      SELECT doc_id, s, nm,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY nm DESC, s ASC
+             ) AS rn
+      FROM win
+    )
+    SELECT topk.doc_id AS doc_id, topk.score AS score,
+           best.s AS frag_start, best.nm AS n_matches,
+           array_to_string(
+             toks.toks[best.s + 1 : best.s + {window}], ' '
+           ) AS fragment
+    FROM topk
+    JOIN best ON topk.doc_id = best.doc_id AND best.rn = 1
+    JOIN toks ON toks.doc_id = topk.doc_id
+    ORDER BY score DESC, doc_id ASC
+    """
+
+
 def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int,
                     msm: int = 1) -> DataFrame:
     """Declarative BM25: the same math as the segment engine, expressed as
@@ -738,6 +806,44 @@ def ft_bm25_prefix_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = query_topk(spark, index_dir, "key s*", BM25_K,
                       min_should_match="all", max_expansions=4)
     return _engine_topk_to_external(topk, spark, index_dir)
+
+
+HIGHLIGHT_WINDOW = 20
+
+
+@register(
+    "ft_bm25_highlight",
+    _bm25_highlight_sql(BM25_QUERY_TERMS, BM25_K, HIGHLIGHT_WINDOW),
+    covers=["O7 search-result highlighting: best-fragment selection "
+            "(unified-highlighter re-analyze mode) over the top-k"],
+)
+def ft_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine top-k, then best-fragment highlighting of the hits: the
+    20-token window holding the most matched-term occurrences (ties to
+    the earliest start), as lowercase joined tokens. Runs the Arrow-
+    batched highlighter over exactly k rows (a broadcast join against
+    the documents table) — the raw `<em>`-wrapped snippet is exercised
+    in pytest; the oracle hash-checks window choice, match counts, and
+    the canonical fragment."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+    from data_prep_opensearch_spark.operators.highlight import (
+        with_highlights,
+    )
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(spark, index_dir, " ".join(BM25_QUERY_TERMS), BM25_K,
+                      scorer="wand")
+    ext = _engine_topk_to_external(topk, spark, index_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = docs.join(F.broadcast(ext), "doc_id")
+    out = with_highlights(joined, "text", BM25_QUERY_TERMS,
+                          window=HIGHLIGHT_WINDOW)
+    return out.select(
+        "doc_id", "score",
+        F.col("hl_start").cast("long").alias("frag_start"),
+        F.col("hl_matches").cast("long").alias("n_matches"),
+        F.col("hl_fragment").alias("fragment"),
+    )
 
 
 @register(
