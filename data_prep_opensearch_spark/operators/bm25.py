@@ -1044,8 +1044,43 @@ class BM25Engine:
         the rarest (n-msm+1) clause groups, hot lists are only probed
         at candidate positions (block-lazy) — with a dense counting
         fallback when nothing is skippable."""
+        local = self._shard_scored(query, k, scorer, min_should_match,
+                                   max_expansions)
+        if local is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def match_ids(
+        self, query: str,
+        min_should_match: int | str | None = None,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """ALL docIDs satisfying the boolean query — no top-k cut. This
+        is the aggregation/facet entry point (OpenSearch runs its aggs
+        over the full match set, not the hits page): the same clause
+        semantics as ``topk`` (msm, prefix/fuzzy expansion, must_not,
+        phrases, tombstones), but each shard emits every doc whose score
+        is positive and nothing is globally sorted — the result stays
+        distributed (one row per match, linear shuffle into whatever
+        aggregation follows; never a driver collect)."""
+        local = self._shard_scored(query, None, "dense", min_should_match,
+                                   max_expansions)
+        if local is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA).select(
+                "doc_id")
+        # shards are disjoint docID ranges: no cross-shard duplicates
+        return local.select("doc_id")
+
+    def _shard_scored(
+        self, query: str, k: int | None, scorer: str,
+        min_should_match: int | str | None,
+        max_expansions: int | None,
+    ) -> DataFrame | None:
+        """Plan + per-shard scoring shared by ``topk`` (k-cut per shard)
+        and ``match_ids`` (``k=None``: emit every positive-score doc —
+        the dense accumulator already touches the whole shard, so 'all
+        matches' costs the same kernel pass as top-k)."""
         self._maybe_refresh()
-        spark = self.spark
         clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
             self._plan_clauses(query, max_expansions)
         )
@@ -1061,7 +1096,8 @@ class BM25Engine:
         # count. A pure-negative query has no positive clause to
         # generate candidates (Lucene bool with only must_not) -> empty.
         if (not terms and not phrases) or len(clauses) + len(phrases) < msm:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return None
+        keff = (1 << 31) if k is None else k
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
         # fuzzy similarity boosts fold into the per-term weights the
         # scorers consume; phrase clauses weight with the UNBOOSTED idf
@@ -1114,10 +1150,10 @@ class BM25Engine:
                                                    deleted)
                     if grp is None:
                         continue
-                yield scorer_fn(grp, idf_map, avgdl, k, base, dl_bytes, deleted)
+                yield scorer_fn(grp, idf_map, avgdl, keff, base, dl_bytes,
+                                deleted)
 
-        local = seg.mapInPandas(score_partition, TOPK_SCHEMA)
-        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return seg.mapInPandas(score_partition, TOPK_SCHEMA)
 
     def topk_batch(
         self, queries: list[str], k: int = 10, scorer: str = "auto",

@@ -1,0 +1,84 @@
+"""Faceted search: OpenSearch-style aggregations over a query's FULL
+match set (not the hits page).
+
+The reference's serving side is an OpenSearch index whose search API
+pairs every query with `aggregations` (terms buckets, histograms); this
+module is that capability on the Spark engine: ``BM25Engine.match_ids``
+yields every matching docID (distributed, one row per match), the
+caller joins its attribute table, and :func:`facet_counts` turns any
+set of columns/expressions into ranked (facet, value, n_docs) buckets.
+
+Semantics (OpenSearch terms aggregation):
+- one bucket per distinct value, counting matching DOCS,
+- top ``size`` buckets per facet by count desc (ties value asc — our
+  deterministic refinement of ES's undefined tie order),
+- NULL values are skipped (ES `missing` docs drop out unless mapped).
+
+Scale: the whole pipeline is match-emit → hash aggregate → per-facet
+top-``size`` window; the explode multiplies rows by len(facets) (a
+handful), counts combine map-side, and the window input is one row per
+(facet, value) — bounded by facet cardinality, not corpus size. No
+driver collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def facet_counts(
+    df: DataFrame,
+    facets: dict[str, Column | str],
+    size: int = 10,
+) -> DataFrame:
+    """(facet, value, n_docs) buckets over ``df`` — one input row per
+    matching doc. ``facets`` maps facet name -> column (or expression;
+    numeric expressions make range/histogram facets: pass e.g.
+    ``(F.floor(F.col("n_chars") / 256) * 256)`` for fixed-width bins).
+    Values are cast to string (one tidy output schema for all facets).
+    """
+    entries = [
+        F.struct(
+            F.lit(name).alias("facet"),
+            (F.col(c) if isinstance(c, str) else c)
+            .cast("string").alias("value"),
+        )
+        for name, c in sorted(facets.items())
+    ]
+    ex = (
+        df.select(F.explode(F.array(*entries)).alias("fv"))
+        .select("fv.facet", "fv.value")
+        .filter(F.col("value").isNotNull())
+    )
+    counts = ex.groupBy("facet", "value").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("facet").orderBy(
+        F.desc("n_docs"), F.asc("value")
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .drop("_rn")
+    )
+
+
+def search_facets(
+    spark,
+    index_dir: str,
+    query: str,
+    attrs: DataFrame,
+    facets: dict[str, Column | str],
+    size: int = 10,
+    min_should_match: int | str | None = None,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """One-call search-with-aggregations: match the boolean ``query``
+    against the segment index, join the (docID-keyed) attribute table,
+    and bucket-count ``facets``. ``attrs`` must carry ``doc_id`` in
+    ENGINE docID space (map external ids through the doc_stats table
+    first if needed — see plans.queries ft_search_facets)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    eng = BM25Engine(spark, index_dir, cache=True)
+    matches = eng.match_ids(query, min_should_match=min_should_match,
+                            max_expansions=max_expansions)
+    return facet_counts(matches.join(attrs, "doc_id"), facets, size)

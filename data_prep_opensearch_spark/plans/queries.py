@@ -808,6 +808,95 @@ def ft_bm25_prefix_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_topk_to_external(topk, spark, index_dir)
 
 
+def _search_facets_sql(terms: list[str], size: int, bin_w: int) -> str:
+    """Facet buckets over the FULL match set of an OR query: one terms
+    facet per attribute column plus a fixed-width histogram facet over
+    n_chars — count desc, ties value asc, top ``size`` per facet."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({term_list})),
+    j AS (
+      SELECT d.lang, d.source, d.n_chars
+      FROM documents d JOIN m ON d.doc_id = m.doc_id
+    ),
+    f AS (
+      SELECT 'lang' AS facet, lang AS value FROM j
+      UNION ALL
+      SELECT 'source' AS facet, source AS value FROM j
+      UNION ALL
+      SELECT 'size_{bin_w}' AS facet,
+             CAST(CAST(floor(n_chars / {bin_w}) * {bin_w} AS BIGINT) AS VARCHAR) AS value
+      FROM j
+    ),
+    c AS (
+      SELECT facet, value, count(*) AS n_docs FROM f
+      WHERE value IS NOT NULL GROUP BY facet, value
+    ),
+    r AS (
+      SELECT facet, value, n_docs,
+             row_number() OVER (
+               PARTITION BY facet ORDER BY n_docs DESC, value ASC
+             ) AS rn
+      FROM c
+    )
+    SELECT facet, value, n_docs FROM r WHERE rn <= {size}
+    ORDER BY facet ASC, n_docs DESC, value ASC
+    """
+
+
+FACET_SIZE = 10
+FACET_BIN = 256
+
+
+@register(
+    "ft_search_facets",
+    _search_facets_sql(BM25_QUERY_TERMS, FACET_SIZE, FACET_BIN),
+    covers=["O7 faceted search: terms + histogram aggregations over the "
+            "FULL match set (OpenSearch aggregations semantics)"],
+)
+def ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-with-aggregations on the segment engine: `match_ids`
+    emits every doc matching the OR query straight from the postings
+    (distributed — no top-k cut, no driver collect), the external-id
+    mapping and attribute join stay broadcast-shaped, and `facet_counts`
+    buckets lang / source / 256-char size bins, top-10 per facet (count
+    desc, ties value asc)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.facets import facet_counts
+    from data_prep_opensearch_spark.operators.manifest import (
+        read_doc_stats,
+    )
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    matches = eng.match_ids(" ".join(BM25_QUERY_TERMS))
+    stats = read_doc_stats(spark, index_dir).select(
+        F.col("doc_id").alias("engine_doc_id"),
+        F.col("path").cast("long").alias("doc_id"),
+    )
+    ext = matches.join(
+        stats, matches["doc_id"] == stats["engine_doc_id"]
+    ).select(stats["doc_id"])
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    joined = ext.join(docs, "doc_id")
+    return facet_counts(
+        joined,
+        {
+            "lang": "lang",
+            "source": "source",
+            f"size_{FACET_BIN}":
+                F.floor(F.col("n_chars") / FACET_BIN) * FACET_BIN,
+        },
+        size=FACET_SIZE,
+    )
+
+
 HIGHLIGHT_WINDOW = 20
 
 

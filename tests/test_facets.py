@@ -1,0 +1,89 @@
+"""Faceted search: full-match-set retrieval (`match_ids`) and the
+OpenSearch-style bucket aggregation (`facet_counts`)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def test_match_ids_full_query_language(spark, built_index, oracle_index):
+    """match_ids == the oracle's full match set (score > 0) under OR,
+    msm, must_not, fuzzy, and phrase clauses."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    d, _ = built_index
+    eng = BM25Engine(spark, d, cache=True)
+    cases = [
+        ("needle0 needle1", None),
+        ("import def sym1", 2),
+        ("import -needle0", None),
+        ("needle0~1", None),
+        ('"import def" sym1', None),
+        ("zzzznope", None),
+    ]
+    for q, msm in cases:
+        expected = {d_ for d_, _ in
+                    oracle_index.query(q, 10**9, min_should_match=msm)}
+        got = {r["doc_id"] for r in
+               eng.match_ids(q, min_should_match=msm).collect()}
+        assert got == expected, (q, len(got), len(expected))
+
+
+def test_facet_counts_semantics(spark):
+    from data_prep_opensearch_spark.operators.facets import facet_counts
+
+    rows = [
+        (1, "en", 100), (2, "en", 300), (3, "de", 300),
+        (4, "de", 100), (5, "fr", 520), (6, None, 100),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n"])
+    out = facet_counts(
+        df,
+        {"lang": "lang", "bin": F.floor(F.col("n") / 256) * 256},
+        size=2,
+    ).collect()
+    by_facet: dict[str, list] = {}
+    for r in out:
+        by_facet.setdefault(r["facet"], []).append(
+            (r["value"], r["n_docs"]))
+    # NULL lang skipped; tie between de(2) and en(2) -> value asc; fr
+    # (1 doc) cut by size=2
+    assert by_facet["lang"] == [("de", 2), ("en", 2)]
+    # bins: 0 ->(100,100,100)=3... values 100,100,300,300,520,100 ->
+    # bin 0: n=100 x3; bin 256: 300 x2; bin 512: 520 x1; size=2 cut
+    assert by_facet["bin"] == [("0", 3), ("256", 2)]
+
+
+def test_search_facets_end_to_end(spark, built_index, oracle_index):
+    """search_facets over the engine index matches a hand-computed
+    bucket count on the oracle's match set."""
+    from data_prep_opensearch_spark.operators.facets import search_facets
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+    from data_prep_opensearch_spark.sources.corpus import corpus_pandas
+
+    from tests.conftest import N_DOCS
+
+    d, _ = built_index
+    q = "import needle0"
+    # attribute table in ENGINE docID space: doc_stats carries the
+    # natural key, the corpus carries lang
+    stats = read_doc_stats(spark, d).select(
+        "doc_id", "repo", "path", "commit")
+    pdf = corpus_pandas(N_DOCS)[["repo", "path", "commit", "lang"]]
+    attrs = stats.join(
+        spark.createDataFrame(pdf), ["repo", "path", "commit"]
+    ).select("doc_id", "lang")
+    out = search_facets(spark, d, q, attrs, {"lang": "lang"}, size=3)
+    got = [(r["value"], r["n_docs"]) for r in out.collect()]
+
+    match = {d_ for d_, _ in oracle_index.query(q, 10**9)}
+    key2lang = {
+        r["doc_id"]: r["lang"] for r in attrs.collect()
+    }
+    counts = Counter(key2lang[m] for m in match)
+    expected = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:3]
+    assert got == expected
