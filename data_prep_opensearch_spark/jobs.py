@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--msm", default=None,
                    help="minimum-should-match: an int m (>= m of the "
                         "query's n distinct terms) or 'all' (pure AND)")
+    q.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
+                   help="deep pagination cursor: the previous page's "
+                        "last (score, doc_id); returns the next k "
+                        "results strictly after it")
     q.add_argument("--highlight-source", default=None, metavar="PARQUET",
                    help="source parquet dir (repo,path,commit,content): "
                         "attach a best-fragment <em> snippet per hit "
@@ -143,20 +147,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(meta))
     elif args.cmd == "query":
         msm = args.msm if args.msm in (None, "all") else int(args.msm)
+        after = None
+        if args.search_after:
+            s_str, d_str = args.search_after.rsplit(",", 1)
+            after = (float(s_str), int(d_str))
         if args.local:
             from data_prep_opensearch_spark.operators.bm25 import BM25Engine
 
             eng = BM25Engine(spark, args.index, cache=False)
             rows = eng.topk_local(args.q, args.k, scorer=args.scorer,
                                   min_should_match=msm,
-                                  max_expansions=args.max_expansions).collect()
+                                  max_expansions=args.max_expansions,
+                                  search_after=after).collect()
         else:
             from data_prep_opensearch_spark.operators.bm25 import query_topk
 
             rows = query_topk(spark, args.index, args.q, args.k,
                               scorer=args.scorer,
                               min_should_match=msm,
-                              max_expansions=args.max_expansions).collect()
+                              max_expansions=args.max_expansions,
+                              search_after=after).collect()
         out = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         if args.highlight_source and out:
             from pyspark.sql import functions as F

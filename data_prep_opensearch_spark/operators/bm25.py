@@ -785,6 +785,7 @@ class BM25Engine:
         as_pandas: bool = False,
         min_should_match: int | str | None = None,
         max_expansions: int | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame | pd.DataFrame:
         """Driver-local LATENCY TIER: identical scores to ``topk`` (same
         scorer kernels on the same decoded bytes — parity-tested), but
@@ -838,7 +839,8 @@ class BM25Engine:
         # they count against the same posting-mass guard
         if sum(df_map[t] for t in terms + negs + pterms) > cap:
             dist = self.topk(query, k, scorer, min_should_match=msm,
-                             max_expansions=max_expansions)
+                             max_expansions=max_expansions,
+                             search_after=search_after)
             return dist.toPandas() if as_pandas else dist
         if pterms:
             self._ensure_local_pos(pterms)
@@ -1019,6 +1021,10 @@ class BM25Engine:
         if self._local_deleted.size:
             alive = ~np.isin(uniq, self._local_deleted, assume_unique=True)
             uniq, scores = uniq[alive], scores[alive]
+        if search_after is not None:
+            s, d = float(search_after[0]), int(search_after[1])
+            after = (scores < s) | ((scores == s) & (uniq > d))
+            uniq, scores = uniq[after], scores[after]
         if uniq.size == 0:
             return _out(_empty_topk())
         sel = np.lexsort((uniq, -scores))[:k]
@@ -1032,6 +1038,7 @@ class BM25Engine:
         self, query: str, k: int = 10, scorer: str = "auto",
         min_should_match: int | str | None = None,
         max_expansions: int | None = None,
+        search_after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """``min_should_match``: require >= m of the query's CLAUSES per
         result doc (``"all"`` = pure AND; default/1 = OR). A literal
@@ -1043,9 +1050,28 @@ class BM25Engine:
         queries route to the pigeonhole scorer — candidates come from
         the rarest (n-msm+1) clause groups, hot lists are only probed
         at candidate positions (block-lazy) — with a dense counting
-        fallback when nothing is skippable."""
-        local = self._shard_scored(query, k, scorer, min_should_match,
-                                   max_expansions)
+        fallback when nothing is skippable.
+
+        ``search_after=(score, doc_id)`` is OpenSearch deep pagination:
+        return the next k results STRICTLY AFTER the cursor in the
+        (score desc, doc_id asc) total order — pass the previous page's
+        last row. Cursored pages route through the dense full-emission
+        path (a shard cannot know how much of its top-k the cursor
+        consumed, so per-shard k-cuts would drop rows pages still need);
+        the cursor filter runs before Spark's TakeOrdered, which caps
+        network at k per partition as usual."""
+        if search_after is not None:
+            local = self._shard_scored(query, None, "dense",
+                                       min_should_match, max_expansions)
+            if local is not None:
+                s, d = float(search_after[0]), int(search_after[1])
+                local = local.filter(
+                    (F.col("score") < s)
+                    | ((F.col("score") == s) & (F.col("doc_id") > d))
+                )
+        else:
+            local = self._shard_scored(query, k, scorer, min_should_match,
+                                       max_expansions)
         if local is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1283,11 +1309,12 @@ def query_topk(
     scorer: str = "wand",
     min_should_match: int | str | None = None,
     max_expansions: int | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """One-shot top-k BM25 (cold engine) — see BM25Engine for warm reuse."""
     return BM25Engine(spark, index_dir, cache=False).topk(
         query, k, scorer, min_should_match=min_should_match,
-        max_expansions=max_expansions,
+        max_expansions=max_expansions, search_after=search_after,
     )
 
 

@@ -808,6 +808,71 @@ def ft_bm25_prefix_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_topk_to_external(topk, spark, index_dir)
 
 
+def _bm25_page_sql(terms: list[str], k: int, page: int) -> str:
+    """Page ``page`` (1-based) of the (score desc, doc_id asc) ranking —
+    the oracle for search_after deep pagination: cursoring after page
+    N's last row is definitionally OFFSET N*k. Ordered by the RAW score
+    (rounding only in the projection) so the page boundary is cut in
+    the same total order the engine uses."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT unnest([{term_list}]) AS term),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ) AS raw
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS score FROM scored
+    ORDER BY raw DESC, doc_id ASC
+    LIMIT {k} OFFSET {k * (page - 1)}
+    """
+
+
+@register(
+    "ft_bm25_page2",
+    _bm25_page_sql(BM25_QUERY_TERMS, BM25_K, 2),
+    covers=["O7 search_after deep pagination: next-k strictly after the "
+            "previous page's (score, doc_id) cursor"],
+)
+def ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 via OpenSearch search_after: run page 1, cursor on its
+    last (score, doc_id), ask the engine for the next k strictly after
+    it. The oracle computes the same rows as OFFSET k of the full
+    ranking — the definitional equivalence search_after exists to make
+    cheap (no shard ever materializes more than the cursor filter +
+    its per-partition top-k)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    page1 = eng.topk(" ".join(BM25_QUERY_TERMS), BM25_K).collect()
+    last = page1[-1]
+    page2 = eng.topk(
+        " ".join(BM25_QUERY_TERMS), BM25_K,
+        search_after=(last["score"], last["doc_id"]),
+    )
+    return _engine_topk_to_external(page2, spark, index_dir)
+
+
 def _search_facets_sql(terms: list[str], size: int, bin_w: int) -> str:
     """Facet buckets over the FULL match set of an OR query: one terms
     facet per attribute column plus a fixed-width histogram facet over
