@@ -80,6 +80,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--highlight-window", type=int, default=20,
                    help="snippet window in tokens (default 20)")
 
+    ml = sub.add_parser(
+        "mlt",
+        description="more_like_this: search docs similar to the given "
+                    "text (top tf*idf term selection, Lucene defaults).",
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--text", default=None, help="the LIKE text inline")
+    ml.add_argument("--like-file", default=None,
+                    help="read the LIKE text from a file")
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--exclude-doc-id", type=int, default=None)
+    ml.add_argument("--max-query-terms", type=int, default=None)
+    ml.add_argument("--min-term-freq", type=int, default=None)
+    ml.add_argument("--min-doc-freq", type=int, default=None)
+
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
     m.add_argument("--fan-in", type=int, default=8)
@@ -202,6 +217,25 @@ def main(argv: list[str] | None = None) -> int:
             for h in out:
                 h["snippet"] = snips.get(h["doc_id"])
         print(json.dumps(out))
+    elif args.cmd == "mlt":
+        from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+        if not args.text and not args.like_file:
+            raise SystemExit("mlt: pass --text or --like-file")
+        text = args.text
+        if args.like_file:
+            with open(args.like_file, encoding="utf-8") as fh:
+                text = fh.read()
+        eng = BM25Engine(spark, args.index, cache=False)
+        rows = eng.more_like_this(
+            text, args.k, exclude_doc_id=args.exclude_doc_id,
+            max_query_terms=args.max_query_terms,
+            min_term_freq=args.min_term_freq,
+            min_doc_freq=args.min_doc_freq,
+        ).collect()
+        print(json.dumps(
+            [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+        ))
     elif args.cmd == "merge":
         from data_prep_opensearch_spark.operators.segment_merge import merge_segments
 

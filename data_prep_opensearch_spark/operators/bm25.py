@@ -1076,6 +1076,67 @@ class BM25Engine:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # Lucene MoreLikeThis defaults (MoreLikeThis.java): term selection
+    # gates + query-size cap
+    MLT_MAX_QUERY_TERMS = 25
+    MLT_MIN_TERM_FREQ = 2
+    MLT_MIN_DOC_FREQ = 5
+
+    def mlt_terms(
+        self, text: str, max_query_terms: int | None = None,
+        min_term_freq: int | None = None, min_doc_freq: int | None = None,
+    ) -> list[str]:
+        """Lucene MoreLikeThis term selection: re-analyze the LIKE text
+        (same unified-highlighter rationale — no stored term vectors),
+        keep terms with tf >= min_term_freq and index df >= min_doc_freq,
+        rank by tf * idf desc (ties term asc), cap at max_query_terms.
+        One filtered-scan job resolves every candidate's df."""
+        mq = self.MLT_MAX_QUERY_TERMS if max_query_terms is None else max_query_terms
+        mtf = self.MLT_MIN_TERM_FREQ if min_term_freq is None else min_term_freq
+        mdf = self.MLT_MIN_DOC_FREQ if min_doc_freq is None else min_doc_freq
+        from data_prep_opensearch_spark.functions.tokenize import (
+            term_frequencies,
+        )
+
+        tf = term_frequencies(text or "", self.meta["tokenizer"])
+        cands = sorted(t for t, c in tf.items() if c >= mtf)
+        if not cands:
+            return []
+        df_map = self.resolve_df(cands)
+        n_docs = int(self.meta["n_docs"])
+        ranked = sorted(
+            ((t, tf[t] * idf(n_docs, df_map[t])) for t in cands
+             if df_map[t] >= mdf),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return [t for t, _ in ranked[:mq]]
+
+    def more_like_this(
+        self, text: str, k: int = 10,
+        exclude_doc_id: int | None = None,
+        max_query_terms: int | None = None,
+        min_term_freq: int | None = None, min_doc_freq: int | None = None,
+        min_should_match: int | str | None = None,
+    ) -> DataFrame:
+        """Lucene/OpenSearch more_like_this: find docs similar to the
+        LIKE ``text`` by searching its top tf*idf terms as an OR query
+        (each selected term an ordinary BM25 clause). Pass the source
+        doc's id as ``exclude_doc_id`` to drop it from the results (ES
+        excludes the like-document the same way)."""
+        terms = self.mlt_terms(text, max_query_terms, min_term_freq,
+                               min_doc_freq)
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        kk = k if exclude_doc_id is None else k + 1
+        out = self.topk(" ".join(terms), kk,
+                        min_should_match=min_should_match)
+        if exclude_doc_id is not None:
+            out = (
+                out.filter(F.col("doc_id") != int(exclude_doc_id))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            )
+        return out
+
     def match_ids(
         self, query: str,
         min_should_match: int | str | None = None,

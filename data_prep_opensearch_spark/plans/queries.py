@@ -873,6 +873,91 @@ def ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_topk_to_external(page2, spark, index_dir)
 
 
+MLT_DOC = 42
+MLT_MQ, MLT_MTF, MLT_MDF = 25, 2, 5
+
+
+def _mlt_sql(src_doc: int, k: int, mq: int, mtf: int, mdf: int) -> str:
+    """more_like_this oracle: re-derive the LIKE doc's top tf*idf terms
+    (tf >= mtf, df >= mdf, top-mq by weight desc / term asc — Lucene
+    MoreLikeThis selection) and BM25-rank the corpus on them, excluding
+    the source doc."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    cand AS (
+      SELECT tf.term,
+             tf.tf * ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) AS w
+      FROM tf
+      JOIN dft ON tf.term = dft.term
+      CROSS JOIN stats
+      WHERE tf.doc_id = {src_doc} AND tf.tf >= {mtf} AND dft.df >= {mdf}
+    ),
+    q AS (SELECT term FROM cand ORDER BY w DESC, term ASC LIMIT {mq}),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ) AS raw
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS score FROM scored
+    WHERE doc_id != {src_doc}
+    ORDER BY raw DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_mlt",
+    _mlt_sql(MLT_DOC, BM25_K, MLT_MQ, MLT_MTF, MLT_MDF),
+    covers=["O7 more_like_this: top tf*idf term selection from the LIKE "
+            "doc, OR search, source excluded (Lucene MLT defaults)"],
+)
+def ft_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this for document 42: re-analyze its text, keep terms
+    with tf >= 2 whose index df >= 5, rank by tf*idf (ties term asc),
+    cap at 25 (Lucene MoreLikeThis defaults), BM25-search the OR of the
+    selected terms, and drop the source doc from the hits."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.manifest import (
+        read_doc_stats,
+    )
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    text = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == MLT_DOC)
+        .select("text").collect()[0]["text"]
+    )
+    src_internal = int(
+        read_doc_stats(spark, index_dir)
+        .filter(F.col("path") == str(MLT_DOC))
+        .select("doc_id").collect()[0]["doc_id"]
+    )
+    out = eng.more_like_this(
+        text, BM25_K, exclude_doc_id=src_internal,
+        max_query_terms=MLT_MQ, min_term_freq=MLT_MTF, min_doc_freq=MLT_MDF,
+    )
+    return _engine_topk_to_external(out, spark, index_dir)
+
+
 def _search_facets_sql(terms: list[str], size: int, bin_w: int) -> str:
     """Facet buckets over the FULL match set of an OR query: one terms
     facet per attribute column plus a fixed-width histogram facet over
