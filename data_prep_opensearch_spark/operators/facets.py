@@ -61,6 +61,29 @@ def facet_counts(
     )
 
 
+def stats_counts(df: DataFrame, fields: list[str]) -> DataFrame:
+    """OpenSearch ``stats`` aggregation (plus the exact interpolated
+    median) per numeric field over the match set: one row per field
+    with (n_docs, min_v, max_v, sum_v, avg_v, p50). All map-side
+    combinable except the exact percentile, whose input is the match
+    set's single column — still one aggregation, no collect."""
+    parts = [
+        df.agg(
+            F.count(c).alias("n_docs"),
+            F.min(c).cast("double").alias("min_v"),
+            F.max(c).cast("double").alias("max_v"),
+            F.sum(c).cast("double").alias("sum_v"),
+            F.avg(c).alias("avg_v"),
+            F.expr(f"percentile({c}, 0.5)").alias("p50"),
+        ).select(F.lit(c).alias("field"), "*")
+        for c in sorted(fields)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def search_facets(
     spark,
     index_dir: str,

@@ -1047,6 +1047,65 @@ def ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _search_stats_sql(terms: list[str]) -> str:
+    """stats aggregation over the OR query's full match set."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({term_list})),
+    j AS (SELECT d.n_chars FROM documents d JOIN m ON d.doc_id = m.doc_id)
+    SELECT 'n_chars' AS field,
+           count(n_chars) AS n_docs,
+           round(CAST(min(n_chars) AS DOUBLE), 4) AS min_v,
+           round(CAST(max(n_chars) AS DOUBLE), 4) AS max_v,
+           round(CAST(sum(n_chars) AS DOUBLE), 4) AS sum_v,
+           round(avg(n_chars), 4) AS avg_v,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50
+    FROM j
+    """
+
+
+@register(
+    "ft_search_stats",
+    _search_stats_sql(BM25_QUERY_TERMS),
+    covers=["O7 stats aggregation (min/max/sum/avg/median) over the "
+            "full match set"],
+)
+def ft_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch `stats` agg (+ exact interpolated median) on n_chars
+    over every doc matching the OR query — the match set streams from
+    the postings into one aggregation."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.facets import stats_counts
+    from data_prep_opensearch_spark.operators.manifest import (
+        read_doc_stats,
+    )
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    matches = eng.match_ids(" ".join(BM25_QUERY_TERMS))
+    stats = read_doc_stats(spark, index_dir).select(
+        F.col("doc_id").alias("engine_doc_id"),
+        F.col("path").cast("long").alias("doc_id"),
+    )
+    ext = matches.join(
+        stats, matches["doc_id"] == stats["engine_doc_id"]
+    ).select(stats["doc_id"])
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    agg = stats_counts(ext.join(docs, "doc_id"), ["n_chars"])
+    return agg.select(
+        "field", "n_docs",
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("avg_v", 4).alias("avg_v"),
+        F.round("p50", 4).alias("p50"),
+    )
+
+
 HIGHLIGHT_WINDOW = 20
 
 

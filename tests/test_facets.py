@@ -87,3 +87,19 @@ def test_search_facets_end_to_end(spark, built_index, oracle_index):
         counts.items(), key=lambda kv: (-kv[1], kv[0])
     )[:3]
     assert got == expected
+
+
+def test_stats_counts(spark):
+    from data_prep_opensearch_spark.operators.facets import stats_counts
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 40, None), (4, 30, 4.0)],
+        ["doc_id", "a", "b"],
+    )
+    rows = {r["field"]: r for r in stats_counts(df, ["a", "b"]).collect()}
+    a = rows["a"]
+    assert (a["n_docs"], a["min_v"], a["max_v"], a["sum_v"]) == (4, 10, 40, 100)
+    assert abs(a["avg_v"] - 25.0) <= 1e-12
+    assert abs(a["p50"] - 25.0) <= 1e-12   # interpolated median of 10,20,30,40
+    b = rows["b"]
+    assert b["n_docs"] == 3 and abs(b["p50"] - 2.0) <= 1e-12  # nulls skipped
