@@ -69,7 +69,26 @@ def bm25_upper_bound(idf_t: float, max_tf: int, min_dl: int, avgdl: float) -> fl
     return idf_t * bm25_tf_term(float(max_tf), float(min_dl), avgdl)
 
 
-_PHRASE_RE = re.compile(r'(-?)"([^"]*)"(~\d+)?')
+_PHRASE_RE = re.compile(r'(-?)"([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?')
+_BOOST_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+
+
+class Boosted(str):
+    """A literal term carrying a query-time clause boost (``term^2.5``,
+    Lucene boost syntax). The parser only admits non-negative boosts
+    (the grammar has no sign), which keeps every scorer's upper bounds
+    monotone. A term reachable through several clauses takes its MAX
+    weight (see ``_plan_clauses``)."""
+
+    __slots__ = ("boost",)
+
+    def __new__(cls, term: str, boost: float = 1.0):
+        obj = super().__new__(cls, term)
+        obj.boost = float(boost)
+        return obj
+
+    def __reduce__(self):
+        return (Boosted, (str(self), self.boost))
 
 
 class Phrase(list):
@@ -87,16 +106,17 @@ class Phrase(list):
     keep the scorer exact-integer and the SQL oracle expressible.
     """
 
-    __slots__ = ("slop",)
+    __slots__ = ("slop", "boost")
 
-    def __init__(self, terms=(), slop: int = 0):
+    def __init__(self, terms=(), slop: int = 0, boost: float = 1.0):
         super().__init__(terms)
         self.slop = int(slop)
+        self.boost = float(boost)
 
     # pickle (mapInPandas closures): list contents travel via the
-    # listitems iterator; carry slop through explicit state
+    # listitems iterator; carry slop/boost through explicit state
     def __reduce__(self):
-        return (Phrase, (list(self), self.slop))
+        return (Phrase, (list(self), self.slop, self.boost))
 
 
 def auto_fuzziness(term: str) -> int:
@@ -117,9 +137,10 @@ class Fuzzy(str):
     by stem length.
     """
 
-    __slots__ = ("max_edits",)
+    __slots__ = ("max_edits", "boost")
 
-    def __new__(cls, term: str, max_edits: int | None = None):
+    def __new__(cls, term: str, max_edits: int | None = None,
+                boost: float = 1.0):
         obj = super().__new__(cls, term)
         n = auto_fuzziness(term) if max_edits is None else int(max_edits)
         if not 0 <= n <= 2:
@@ -127,10 +148,11 @@ class Fuzzy(str):
                 f"fuzzy max_edits must be 0..2 (Lucene bound), got {n}"
             )
         obj.max_edits = n
+        obj.boost = float(boost)
         return obj
 
     def __reduce__(self):
-        return (Fuzzy, (str(self), self.max_edits))
+        return (Fuzzy, (str(self), self.max_edits, self.boost))
 
 
 _FUZZY_RE = re.compile(r"^(.+)~(\d*)$")
@@ -162,9 +184,12 @@ def parse_query(
     prefix-stem list (``~0`` collapses to a literal). A chunk starting
     with ``-`` is a MUST_NOT clause (Lucene bool must_not): every token
     it produces joins the exclusion set (its trailing-``*`` / ``~N``
-    form negates the stem's expansions). Everything else is tokenized
-    wholesale (the tokenizers are regex-findall, so joining chunks with
-    a space is lossless).
+    form negates the stem's expansions). A trailing ``^B`` (B a
+    non-negative float; composes AFTER ``*``/``~N``/``"..."~N``) boosts
+    every clause the chunk produces — Lucene query-time boosts; on a
+    must_not chunk it is stripped as meaningless. Everything else is
+    tokenized wholesale (the tokenizers are regex-findall, so joining
+    chunks with a space is lossless).
     """
     literals: list[str] = []
     prefixes: list[str] = []
@@ -178,19 +203,33 @@ def parse_query(
         toks = ptok(m.group(2))
         neg = m.group(1) == "-"
         slop = int(m.group(3)[1:]) if m.group(3) else 0
+        boost = float(m.group(4)[1:]) if m.group(4) else 1.0
         if not toks:
             pass
         elif len(toks) == 1:
-            (neg_literals if neg else literals).append(toks[0])
+            (neg_literals if neg else literals).append(
+                toks[0] if neg or boost == 1.0 else Boosted(toks[0], boost)
+            )
         else:
-            (neg_phrases if neg else phrases).append(Phrase(toks, slop))
+            (neg_phrases if neg else phrases).append(
+                Phrase(toks, slop, boost)
+            )
         return " "
 
     query = _PHRASE_RE.sub(_take_phrase, query)
     plain: list[str] = []
+
+    def _lit(t: str, boost: float) -> str:
+        return t if boost == 1.0 else Boosted(t, boost)
+
     for chunk in query.split():
         neg = chunk.startswith("-") and len(chunk) > 1
         body = chunk[1:] if neg else chunk
+        boost = 1.0
+        if (bm := _BOOST_RE.match(body)) is not None:
+            # boost applies to every clause the chunk produces; on a
+            # must_not chunk it is meaningless and just stripped
+            body, boost = bm.group(1), float(bm.group(2))
         if body.endswith("*") and len(body) > 1:
             stem_tokens = tok(body[:-1])
             if not stem_tokens:
@@ -199,8 +238,8 @@ def parse_query(
                 neg_literals.extend(stem_tokens[:-1])
                 neg_prefixes.append(stem_tokens[-1])
             else:
-                literals.extend(stem_tokens[:-1])
-                prefixes.append(stem_tokens[-1])
+                literals.extend(_lit(t, boost) for t in stem_tokens[:-1])
+                prefixes.append(_lit(stem_tokens[-1], boost))
         elif (fm := _FUZZY_RE.match(body)) is not None:
             stem_tokens = tok(fm.group(1))
             if not stem_tokens:
@@ -208,14 +247,22 @@ def parse_query(
             stem = Fuzzy(
                 stem_tokens[-1],
                 None if fm.group(2) == "" else int(fm.group(2)),
+                boost,
             )
-            (neg_literals if neg else literals).extend(stem_tokens[:-1])
+            if neg:
+                neg_literals.extend(stem_tokens[:-1])
+            else:
+                literals.extend(_lit(t, boost) for t in stem_tokens[:-1])
             if stem.max_edits == 0:
-                (neg_literals if neg else literals).append(str(stem))
+                (neg_literals if neg else literals).append(
+                    str(stem) if neg else _lit(str(stem), boost)
+                )
             else:
                 (neg_prefixes if neg else prefixes).append(stem)
         elif neg:
             neg_literals.extend(tok(body))
+        elif boost != 1.0:
+            literals.extend(_lit(t, boost) for t in tok(body))
         else:
             plain.append(chunk)
     literals.extend(tok(" ".join(plain)))
@@ -617,32 +664,51 @@ class BM25Engine:
         literals, prefixes, neg_lit, neg_pre, phrases, neg_phrases = (
             parse_query(query, tok, phrase_tok=PHRASE_TOKENIZERS[mode])
         )
-        clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
-        boosts: dict[str, float] = {}
-        exact_terms: set[str] = set(literals)
+        # a term reachable through several clauses scores ONCE with its
+        # MAXIMAL weight (an unboosted literal = 1.0; `^B` scales its
+        # chunk's clauses; fuzzy expansions additionally carry their
+        # similarity boost) — deliberate divergence from Lucene's
+        # per-clause summing, keeping one posting-scan row per term
+        weights: dict[str, float] = {}
+
+        def bump(t: str, w: float) -> None:
+            weights[t] = max(weights.get(t, 0.0), w)
+
+        lit_best: dict[str, float] = {}
+        for t in literals:
+            s = str(t)
+            lit_best[s] = max(lit_best.get(s, 0.0),
+                              getattr(t, "boost", 1.0))
+        clauses: list[list[str]] = [[t] for t in sorted(lit_best)]
+        for t, b in lit_best.items():
+            bump(t, b)
 
         def _dedup_stems(stems_in: list[str]) -> list[str]:
-            # Fuzzy subclasses str, so a plain set would collapse
-            # `foo*` with `foo~1` (equal text) — key by (text, budget)
-            seen: dict[tuple[str, int], str] = {}
+            # Fuzzy/Boosted subclass str, so a plain set would collapse
+            # `foo*` with `foo~1` (equal text) — key by (text, budget,
+            # boost)
+            seen: dict[tuple[str, int, float], str] = {}
             for s in stems_in:
-                seen.setdefault((str(s), getattr(s, "max_edits", -1)), s)
+                seen.setdefault(
+                    (str(s), getattr(s, "max_edits", -1),
+                     getattr(s, "boost", 1.0)), s,
+                )
             return [seen[k] for k in sorted(seen)]
 
         for stem in _dedup_stems(prefixes):
+            b = getattr(stem, "boost", 1.0)
             if isinstance(stem, Fuzzy):
                 exp = self.expand_fuzzy(stem, stem.max_edits,
                                         max_expansions)
                 clauses.append([t for t, _, _ in exp])
                 for t, _, dist in exp:
-                    boosts[t] = max(
-                        boosts.get(t, 0.0), self._fuzzy_boost(t, stem, dist)
-                    )
+                    bump(t, b * self._fuzzy_boost(t, stem, dist))
             else:
                 exp_p = [t for t, _ in
                          self.expand_prefix(stem, max_expansions)]
                 clauses.append(exp_p)
-                exact_terms.update(exp_p)
+                for t in exp_p:
+                    bump(t, b)
         negs: set[str] = set(neg_lit)
         for stem in _dedup_stems(neg_pre):
             if isinstance(stem, Fuzzy):
@@ -651,14 +717,7 @@ class BM25Engine:
             else:
                 negs.update(t for t, _ in
                             self.expand_prefix(stem, max_expansions))
-        # a term reachable through several clauses scores ONCE with its
-        # maximal weight (literal/prefix membership = 1.0) — deliberate
-        # divergence from Lucene's per-clause summing, keeping one
-        # posting-scan row per term; only sub-1.0 weights are kept
-        boosts = {
-            t: b for t, b in boosts.items()
-            if t not in exact_terms and b < 1.0
-        }
+        boosts = {t: w for t, w in weights.items() if w != 1.0}
         n_clauses = len(clauses) + len(phrases)
         flat = sorted(
             {t for cl in clauses for t in cl} | negs
@@ -954,7 +1013,9 @@ class BM25Engine:
             if pdocs.size:
                 d0, _, dl0, _ = self._local_pos[ph[0]]
                 dl = dl0[np.searchsorted(d0, pdocs)]
-                w = sum(idf(n_docs, df_map[t]) for t in ph)
+                w = getattr(ph, "boost", 1.0) * sum(
+                    idf(n_docs, df_map[t]) for t in ph
+                )
                 parts_d.append(pdocs)
                 parts_c.append(
                     w * bm25_tf_term(pf.astype(np.float64), dl, avgdl)
@@ -1600,7 +1661,9 @@ def _score_shard_phrase(
             continue
         off = pdocs - base
         dl = dl_arr[off]
-        w = sum((phrase_idf or idf_map)[t] for t in ph)
+        w = getattr(ph, "boost", 1.0) * sum(
+            (phrase_idf or idf_map)[t] for t in ph
+        )
         acc[off] += w * bm25_tf_term(
             pf.astype(np.float64), dl.astype(np.float64), avgdl
         )

@@ -111,24 +111,37 @@ class OracleIndex:
         def _stems(stems_in):
             seen = {}
             for s in stems_in:
-                seen.setdefault((str(s), getattr(s, "max_edits", -1)), s)
+                seen.setdefault(
+                    (str(s), getattr(s, "max_edits", -1),
+                     getattr(s, "boost", 1.0)), s,
+                )
             return [seen[k] for k in sorted(seen)]
 
-        clauses: list[list[str]] = [[t] for t in sorted(set(literals))]
-        boosts: dict[str, float] = {}
-        exact_terms: set[str] = set(literals)
+        weights: dict[str, float] = {}
+
+        def bump(t, w):
+            weights[t] = max(weights.get(t, 0.0), w)
+
+        lit_best: dict[str, float] = {}
+        for t in literals:
+            lit_best[str(t)] = max(lit_best.get(str(t), 0.0),
+                                   getattr(t, "boost", 1.0))
+        clauses: list[list[str]] = [[t] for t in sorted(lit_best)]
+        for t, b in lit_best.items():
+            bump(t, b)
         for stem in _stems(prefixes):
+            b = getattr(stem, "boost", 1.0)
             if isinstance(stem, Fuzzy):
                 exp_f = _expand_fuzzy(stem)
                 clauses.append([t for t, _ in exp_f])
-                for t, b in exp_f:
-                    boosts[t] = max(boosts.get(t, 0.0), b)
+                for t, fb in exp_f:
+                    bump(t, b * fb)
             else:
                 exp_p = _expand(stem)
                 clauses.append(exp_p)
-                exact_terms.update(exp_p)
-        boosts = {t: b for t, b in boosts.items()
-                  if t not in exact_terms and b < 1.0}
+                for t in exp_p:
+                    bump(t, b)
+        boosts = {t: w for t, w in weights.items() if w != 1.0}
         negs: set[str] = set(neg_lit)
         for stem in _stems(neg_pre):
             if isinstance(stem, Fuzzy):
@@ -156,7 +169,9 @@ class OracleIndex:
                 )
                 matched.setdefault(d, set()).update(cids)
         for pi, ph in enumerate(phrases):
-            w = sum(idf(self.n_docs, self.df[t]) for t in ph)
+            w = getattr(ph, "boost", 1.0) * sum(
+                idf(self.n_docs, self.df[t]) for t in ph
+            )
             for d, pf in self._phrase_freq(ph).items():
                 scores[d] = scores.get(d, 0.0) + w * bm25_tf_term(
                     float(pf), float(self.doclen[d]), self.avgdl

@@ -873,6 +873,62 @@ def ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_topk_to_external(page2, spark, index_dir)
 
 
+def _bm25_boosted_sql(term_weights: dict[str, float], k: int) -> str:
+    """BM25 with per-term query boosts (`term^B`): each term's
+    contribution scales by its weight (a term in several clauses takes
+    the MAX weight — here the weights are already resolved)."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    vals = ", ".join(
+        f"('{t}', {w!r})" for t, w in sorted(term_weights.items())
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q(term, w) AS (VALUES {vals})
+    SELECT tf.doc_id AS doc_id,
+           round(sum(
+             ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) * q.w
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+           ), 4) AS score
+    FROM tf
+    JOIN q ON tf.term = q.term
+    JOIN dft ON tf.term = dft.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_boosted_topk",
+    _bm25_boosted_sql(
+        {"key": 3.0, "sort": 0.5, "merge": 1.0, "batch": 1.0}, BM25_K
+    ),
+    covers=["O7 query-time term boosts (term^B, Lucene boost syntax)"],
+)
+def ft_bm25_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`key^3 sort^0.5 merge batch` on the segment engine: per-clause
+    query boosts fold into the same per-term weight map fuzzy similarity
+    uses; WAND upper bounds scale with the weights so pruning stays
+    admissible."""
+    from data_prep_opensearch_spark.operators.bm25 import query_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    topk = query_topk(spark, index_dir, "key^3 sort^0.5 merge batch",
+                      BM25_K)
+    return _engine_topk_to_external(topk, spark, index_dir)
+
+
 MLT_DOC = 42
 MLT_MQ, MLT_MTF, MLT_MDF = 25, 2, 5
 
