@@ -80,6 +80,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--highlight-window", type=int, default=20,
                    help="snippet window in tokens (default 20)")
 
+    ex = sub.add_parser(
+        "explain",
+        description="Lucene-style explain: per-clause score breakdown "
+                    "of one document under a query (empty = no match).",
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--q", required=True)
+    ex.add_argument("--doc-id", type=int, required=True)
+    ex.add_argument("--msm", default=None)
+    ex.add_argument("--max-expansions", type=int, default=None)
+
     ml = sub.add_parser(
         "mlt",
         description="more_like_this: search docs similar to the given "
@@ -217,6 +228,19 @@ def main(argv: list[str] | None = None) -> int:
             for h in out:
                 h["snippet"] = snips.get(h["doc_id"])
         print(json.dumps(out))
+    elif args.cmd == "explain":
+        from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+        msm = args.msm if args.msm in (None, "all") else int(args.msm)
+        eng = BM25Engine(spark, args.index, cache=False)
+        pdf = eng.explain(args.q, args.doc_id, min_should_match=msm,
+                          max_expansions=args.max_expansions)
+        print(json.dumps({
+            "doc_id": args.doc_id,
+            "matches": bool(len(pdf)),
+            "score": float(pdf["contribution"].sum()) if len(pdf) else None,
+            "clauses": pdf.to_dict("records"),
+        }))
     elif args.cmd == "mlt":
         from data_prep_opensearch_spark.operators.bm25 import BM25Engine
 

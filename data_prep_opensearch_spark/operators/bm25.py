@@ -1137,6 +1137,130 @@ class BM25Engine:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def explain(self, query: str, doc_id: int,
+                min_should_match: int | str | None = None,
+                max_expansions: int | None = None) -> pd.DataFrame:
+        """Lucene-style explain: the per-clause score breakdown of ONE
+        document under ``query`` — columns (clause, kind, tf, df, idf,
+        weight, tf_norm, contribution); the doc's score is the
+        contribution sum. An EMPTY frame means the doc does not match
+        (msm unmet, tombstoned, or excluded by must_not — Lucene's
+        "doesn't match" explanation).
+
+        Cost: one filtered collect of the doc's SHARD rows for the
+        query's terms (a shard's per-term posting list is bounded by
+        the shard width, the same driver budget the local tier already
+        accepts) — explain is a debugging surface for single documents,
+        never a bulk path."""
+        self._maybe_refresh()
+        clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
+            self._plan_clauses(query, max_expansions)
+        )
+        msm = resolve_msm(min_should_match, n_clauses)
+        terms = sorted({t for cl in clauses for t in cl})
+        pterms = sorted(
+            {t for ph in phrases for t in ph}
+            | {t for ph in neg_phrases for t in ph}
+        )
+        cols = ["clause", "kind", "tf", "df", "idf", "weight",
+                "tf_norm", "contribution"]
+        empty = pd.DataFrame({c: [] for c in cols})
+        if not terms and not phrases:
+            return empty
+        doc_id = int(doc_id)
+        width = int(self.meta["shard_width"])
+        shard = doc_id // width
+        df_map = self.resolve_df(terms + pterms)
+        n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
+
+        side = self.sidecar.filter(F.col("shard") == shard).collect()
+        if not side:
+            return empty
+        sd = side[0].asDict()
+        base = int(sd["base"])
+        if sd["deleted"] is not None and doc_id in set(sd["deleted"]):
+            return empty
+        dl_arr = vbyte_decode(bytes(sd["dl_bytes"]))
+        off = doc_id - base
+        if not 0 <= off < dl_arr.shape[0]:
+            return empty
+        dl = float(dl_arr[off])
+
+        seg_src = self._seg_positional() if phrases or neg_phrases else self.seg
+        want = sorted(set(terms) | set(negs) | set(pterms))
+        rows = [r.asDict() for r in seg_src.filter(
+            (F.col("term").isin(want)) & (F.col("shard") == shard)
+        ).collect()]
+        by_term: dict[str, list[dict]] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        tf_of: dict[str, int] = {}
+        pos_of: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t, ds in by_term.items():
+            runs = [
+                decode_posting_list(bytes(d["doc_bytes"]),
+                                    bytes(d["tf_bytes"]), base=base)
+                for d in sorted(ds, key=lambda d: int(d["gen"]))
+            ]
+            docs, tfs = runs[0] if len(runs) == 1 else merge_posting_runs(runs)
+            i = np.searchsorted(docs, doc_id)
+            if i < docs.size and docs[i] == doc_id:
+                tf_of[t] = int(tfs[i])
+            if (phrases or neg_phrases) and t in pterms:
+                pruns = []
+                for d in sorted(ds, key=lambda d: int(d["gen"])):
+                    docs2, tfs2 = decode_posting_list(
+                        bytes(d["doc_bytes"]), bytes(d["tf_bytes"]),
+                        base=base)
+                    pruns.append((docs2, tfs2, decode_positions(
+                        bytes(d["pos_bytes"]), tfs2)))
+                pos_of[t] = (pruns[0] if len(pruns) == 1
+                             else merge_posting_runs_with_pos(pruns))
+
+        if any(t in tf_of for t in negs):
+            return empty
+
+        def _phrase_freq_of(ph) -> int:
+            arrs = []
+            for t in ph:
+                v = pos_of.get(t)
+                if v is None or v[0].size == 0:
+                    return 0
+                arrs.append(v)
+            pdocs, pfs = _phrase_freqs(arrs, slop=getattr(ph, "slop", 0))
+            i = int(np.searchsorted(pdocs, doc_id))
+            if i < pdocs.size and pdocs[i] == doc_id:
+                return int(pfs[i])
+            return 0
+
+        if any(_phrase_freq_of(ph) for ph in neg_phrases):
+            return empty
+        out: list[tuple] = []
+        matched_clauses = 0
+        for cl in clauses:
+            hit = [t for t in cl if t in tf_of]
+            if hit:
+                matched_clauses += 1
+            for t in hit:
+                w = boosts.get(t, 1.0)
+                idf_t = idf(n_docs, df_map[t])
+                tfn = bm25_tf_term(float(tf_of[t]), dl, avgdl)
+                out.append((t, "term", tf_of[t], df_map[t], idf_t, w,
+                            tfn, (idf_t * w) * tfn))
+        for ph in phrases:
+            pf = _phrase_freq_of(ph)
+            if pf == 0:
+                continue
+            matched_clauses += 1
+            w_idf = sum(idf(n_docs, df_map[t]) for t in ph)
+            b = getattr(ph, "boost", 1.0)
+            tfn = bm25_tf_term(float(pf), dl, avgdl)
+            out.append((" ".join(ph), "phrase", pf, 0, w_idf, b, tfn,
+                        (b * w_idf) * tfn))
+        if not out or matched_clauses < msm:
+            return empty
+        return pd.DataFrame(out, columns=cols)
+
     # Lucene MoreLikeThis defaults (MoreLikeThis.java): term selection
     # gates + query-size cap
     MLT_MAX_QUERY_TERMS = 25

@@ -929,6 +929,85 @@ def ft_bm25_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_topk_to_external(topk, spark, index_dir)
 
 
+def _bm25_explain_sql(terms: list[str]) -> str:
+    """Explain oracle: the per-term breakdown of the top-1 doc of the
+    OR ranking — (clause, kind, tf, df, idf, weight, tf_norm,
+    contribution), contribution summing to the doc's BM25 score."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    tfn = (f"(tf.tf * ({K1} + 1.0)) / (tf.tf + {K1} * "
+           f"(1.0 - {B} + {B} * (dl.dl / stats.avgdl)))")
+    idf_expr = "ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT unnest([{term_list}]) AS term),
+    ranked AS (
+      SELECT tf.doc_id AS doc_id,
+             sum({idf_expr} * {tfn}) AS raw
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+      ORDER BY raw DESC, doc_id ASC
+      LIMIT 1
+    )
+    SELECT tf.term AS clause, 'term' AS kind,
+           tf.tf AS tf, dft.df AS df,
+           round({idf_expr}, 4) AS idf,
+           1.0 AS weight,
+           round({tfn}, 4) AS tf_norm,
+           round({idf_expr} * {tfn}, 4) AS contribution
+    FROM tf
+    JOIN ranked ON tf.doc_id = ranked.doc_id
+    JOIN q ON tf.term = q.term
+    JOIN dft ON tf.term = dft.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    ORDER BY clause ASC
+    """
+
+
+@register(
+    "ft_bm25_explain",
+    _bm25_explain_sql(BM25_QUERY_TERMS),
+    covers=["O7 explain API: per-clause score breakdown of a hit"],
+)
+def ft_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain the top-1 hit of the standard OR query: one row per
+    matched clause with (tf, df, idf, weight, tf_norm, contribution);
+    the contribution column sums to the hit's BM25 score (asserted in
+    pytest against topk on every tier)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    q = " ".join(BM25_QUERY_TERMS)
+    top = eng.topk(q, 1).collect()[0]
+    pdf = eng.explain(q, int(top["doc_id"]))
+    for c in ("idf", "tf_norm", "contribution"):
+        pdf[c] = pdf[c].round(4)
+    sdf = spark.createDataFrame(pdf)
+    return sdf.select(
+        "clause", "kind",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("idf").cast("double").alias("idf"),
+        F.col("weight").cast("double").alias("weight"),
+        F.col("tf_norm").cast("double").alias("tf_norm"),
+        F.col("contribution").cast("double").alias("contribution"),
+    )
+
+
 MLT_DOC = 42
 MLT_MQ, MLT_MTF, MLT_MDF = 25, 2, 5
 
