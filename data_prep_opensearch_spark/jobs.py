@@ -106,6 +106,22 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--min-term-freq", type=int, default=None)
     ml.add_argument("--min-doc-freq", type=int, default=None)
 
+    sg = sub.add_parser(
+        "suggest",
+        description="suggesters: --text for did-you-mean term "
+                    "corrections, --prefix for df-weighted completions.",
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--text", default=None)
+    sg.add_argument("--prefix", default=None)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--prefix-length", type=int, default=1)
+    sg.add_argument("--suggest-mode", default="missing",
+                    choices=["missing", "popular", "always"])
+    sg.add_argument("--sort", default="score",
+                    choices=["score", "frequency"])
+
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
     m.add_argument("--fan-in", type=int, default=8)
@@ -260,6 +276,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(
             [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         ))
+    elif args.cmd == "suggest":
+        from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+        from data_prep_opensearch_spark.operators.suggest import (
+            completion_suggest,
+            term_suggest,
+        )
+
+        if (args.text is None) == (args.prefix is None):
+            raise SystemExit("suggest: pass exactly one of --text / --prefix")
+        eng = BM25Engine(spark, args.index, cache=False)
+        if args.text is not None:
+            rows = term_suggest(
+                eng, args.text, size=args.size, max_edits=args.max_edits,
+                prefix_length=args.prefix_length,
+                suggest_mode=args.suggest_mode, sort=args.sort,
+            ).collect()
+            print(json.dumps([
+                {"token": r["token"], "suggestion": r["suggestion"],
+                 "dist": r["dist"], "score": round(r["score"], 4),
+                 "df": r["df"]} for r in rows
+            ]))
+        else:
+            rows = completion_suggest(eng, args.prefix, args.size).collect()
+            print(json.dumps([
+                {"suggestion": r["suggestion"], "df": r["df"]} for r in rows
+            ]))
     elif args.cmd == "merge":
         from data_prep_opensearch_spark.operators.segment_merge import merge_segments
 

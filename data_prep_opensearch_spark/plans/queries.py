@@ -3221,3 +3221,104 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.element_at("features", j + 1).cast("double"), 6).alias(f"f{j}")
           for j in range(16)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Suggesters (OpenSearch `suggest` API over the segment dictionary)
+# ---------------------------------------------------------------------------
+
+SUGGEST_TEXT = "qery spork batchs tabel window"
+
+
+def _term_suggest_sql(text: str, size: int, max_edits: int,
+                      prefix_length: int, min_word_length: int) -> str:
+    """Independent recomputation of the term suggester: dictionary from
+    the tokenizer CTE, missing-mode gate, length window + pinned prefix
+    + levenshtein budget, FuzzyTermsEnum similarity, score/df/term
+    ranking, per-token size cap."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    inp AS (
+      SELECT DISTINCT token FROM (
+        SELECT unnest(regexp_extract_all(lower('{text}'), '([a-z0-9_]+)', 1)) AS token
+      )
+      WHERE length(token) >= {min_word_length}
+        AND token NOT IN (SELECT term FROM dict)
+    ),
+    cand AS (
+      SELECT i.token, d.term AS suggestion,
+             levenshtein(i.token, d.term) AS dist, d.df,
+             1.0 - 1.0 * levenshtein(i.token, d.term)
+                 / least(length(d.term), length(i.token)) AS score
+      FROM inp i JOIN dict d
+        ON abs(length(d.term) - length(i.token)) <= {max_edits}
+       AND substr(d.term, 1, {prefix_length}) = substr(i.token, 1, {prefix_length})
+       AND levenshtein(i.token, d.term) BETWEEN 1 AND {max_edits}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY token ORDER BY score DESC, df DESC, suggestion ASC
+      ) AS rn
+      FROM cand WHERE score > 0
+    )
+    SELECT token, suggestion, CAST(dist AS INT) AS dist,
+           round(score, 4) AS score, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rn <= {size}
+    ORDER BY token, score DESC, suggestion
+    """
+
+
+@register(
+    "ft_suggest_term",
+    _term_suggest_sql(SUGGEST_TEXT, 5, 2, 1, 4),
+    covers=["O7m term suggester (did-you-mean): Lucene DirectSpellChecker "
+            "candidate generation + similarity ranking over the dictionary"],
+)
+def ft_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean over the segment dictionary: `qery spork batchs
+    tabel` are planted misspellings (window is in-vocabulary and must be
+    SKIPPED by missing mode); `spork` draws two candidates (spark dist-1
+    sim 0.8, sort dist-2 sim 0.5) so the similarity ranking is
+    exercised, and the pinned first character excludes `key` from
+    `qery`'s candidates. One dictionary pass for all four tokens."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.suggest import term_suggest
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    out = term_suggest(eng, SUGGEST_TEXT, size=5, max_edits=2,
+                       prefix_length=1, min_word_length=4,
+                       suggest_mode="missing", sort="score")
+    return out.withColumn("score", F.round("score", 4))
+
+
+@register(
+    "ft_suggest_complete",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+    SELECT term AS suggestion, CAST(df AS BIGINT) AS df
+    FROM dict WHERE term LIKE 's%'
+    ORDER BY df DESC, term ASC LIMIT 5
+    """,
+    covers=["O7m completion suggester: df-weighted prefix completions "
+            "(StringStartsWith dictionary point-read)"],
+)
+def ft_suggest_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester for prefix `s`: six dictionary terms match,
+    size=5 cuts the lowest-df one and two share df so the term-asc tie
+    break is exercised. The scan is a filtered aggregate — the prefix
+    predicate pushes to the term-sorted parquet dictionary."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.suggest import completion_suggest
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    return completion_suggest(eng, "s", size=5)
