@@ -1335,13 +1335,28 @@ class BM25Engine:
         is positive and nothing is globally sorted — the result stays
         distributed (one row per match, linear shuffle into whatever
         aggregation follows; never a driver collect)."""
+        return self.match_scores(query, min_should_match,
+                                 max_expansions).select("doc_id")
+
+    def match_scores(
+        self, query: str,
+        min_should_match: int | str | None = None,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, score) for EVERY doc satisfying the boolean query —
+        ``match_ids`` plus the BM25 score, same full-emission kernel
+        pass. This is the entry point for the search-body features that
+        post-process the match set (bool.filter context, sort-by-field,
+        function_score rescoring): scores are computed from index-wide
+        statistics BEFORE any attribute filter, which is exactly the
+        OpenSearch semantics (filter context never changes idf). Result
+        stays distributed; shards are disjoint docID ranges so there
+        are no cross-shard duplicates."""
         local = self._shard_scored(query, None, "dense", min_should_match,
                                    max_expansions)
         if local is None:
-            return self.spark.createDataFrame([], TOPK_SCHEMA).select(
-                "doc_id")
-        # shards are disjoint docID ranges: no cross-shard duplicates
-        return local.select("doc_id")
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return local
 
     def _shard_scored(
         self, query: str, k: int | None, scorer: str,

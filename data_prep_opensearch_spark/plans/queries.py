@@ -3322,3 +3322,172 @@ def ft_suggest_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ensure_docs_index(spark, sf_dir)
     eng = BM25Engine(spark, index_dir, cache=True)
     return completion_suggest(eng, "s", size=5)
+
+
+# ---------------------------------------------------------------------------
+# Search body: filter context / sort-by-field / function_score
+# ---------------------------------------------------------------------------
+
+_MATCH_SCORES_CTE = """
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (SELECT unnest([{terms}]) AS term),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ) AS raw
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+"""
+
+
+def _match_scores_cte(terms: list[str]) -> str:
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return _MATCH_SCORES_CTE.format(terms=term_list, K1=K1, B=B)
+
+
+def _attrs_engine_keyed(spark: SparkSession, sf_dir: str,
+                        index_dir: str) -> DataFrame:
+    """documents attributes re-keyed by ENGINE doc_id (the doc_stats
+    `path` column carries the external id — broadcast-shaped map)."""
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+
+    stats = read_doc_stats(spark, index_dir).select(
+        F.col("doc_id").alias("engine_doc_id"),
+        F.col("path").cast("long").alias("ext_id"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "lang", "source", "n_chars"
+    )
+    return stats.join(docs, "ext_id").select(
+        F.col("engine_doc_id").alias("doc_id"),
+        "ext_id", "lang", "source", "n_chars",
+    )
+
+
+def _ext_topk(topk: DataFrame, attrs: DataFrame,
+              extra: list[str]) -> DataFrame:
+    """Map an engine-keyed result back to external doc_ids."""
+    return topk.join(attrs.select("doc_id", "ext_id"), "doc_id").select(
+        F.col("ext_id").alias("doc_id"),
+        *[c for c in topk.columns if c != "doc_id"], *extra,
+    ).drop("ext_id")
+
+
+@register(
+    "ft_search_filtered",
+    f"""
+    WITH {_match_scores_cte(BM25_QUERY_TERMS)}
+    SELECT s.doc_id, round(s.raw, 4) AS score
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE d.lang = 'en' AND d.n_chars >= 200
+    ORDER BY s.raw DESC, s.doc_id ASC
+    LIMIT {BM25_K}
+    """,
+    covers=["O7n bool.filter context: non-scoring attribute filter over "
+            "the scored match set (idf unchanged — ES semantics)"],
+)
+def ft_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter context: the OR query's match set restricted to English
+    docs of >= 200 chars, top-10 by the UNCHANGED BM25 score. The
+    filter lands on the attr side before a left-semi join (pushed into
+    the attr scan); index-wide idf is computed before the join, exactly
+    OpenSearch's filter-context rule."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.search_body import filtered_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    attrs = _attrs_engine_keyed(spark, sf_dir, index_dir)
+    out = filtered_topk(
+        eng, " ".join(BM25_QUERY_TERMS), attrs,
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200), k=BM25_K,
+    )
+    return _ext_topk(out, attrs, []).withColumn("score", F.round("score", 4))
+
+
+@register(
+    "ft_search_sorted",
+    f"""
+    WITH {_match_scores_cte(BM25_QUERY_TERMS)}
+    SELECT s.doc_id, round(s.raw, 4) AS score, d.n_chars
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE d.lang = 'de'
+    ORDER BY d.n_chars DESC, s.raw DESC, s.doc_id ASC
+    LIMIT {BM25_K}
+    """,
+    covers=["O7n sort-by-field: OpenSearch `sort` param replaces "
+            "relevance order (with _score as a secondary key)"],
+)
+def ft_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort param: German-language matches ordered by n_chars desc with
+    relevance as the secondary key — the orderBy(...).limit(k) compiles
+    to TakeOrdered (k rows per partition cross the wire, never a global
+    sort)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.search_body import sorted_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    attrs = _attrs_engine_keyed(spark, sf_dir, index_dir)
+    out = sorted_topk(
+        eng, " ".join(BM25_QUERY_TERMS), attrs,
+        sort=[("n_chars", False), ("score", False)], k=BM25_K,
+        filter_expr=F.col("lang") == "de",
+    )
+    return _ext_topk(out, attrs, []).withColumn("score", F.round("score", 4))
+
+
+@register(
+    "ft_function_score",
+    f"""
+    WITH {_match_scores_cte(BM25_QUERY_TERMS)}
+    SELECT s.doc_id, round(s.raw, 4) AS score,
+           round(ln(1.0 + d.n_chars), 4) AS func_value,
+           round(s.raw * ln(1.0 + d.n_chars), 4) AS new_score
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s.raw * ln(1.0 + d.n_chars) DESC, s.doc_id ASC
+    LIMIT {BM25_K}
+    """,
+    covers=["O7n function_score: field_value_factor (log1p of a doc "
+            "field) combined with the query score, re-cut on the "
+            "combined score"],
+)
+def ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score with field_value_factor: new_score = bm25 *
+    ln(1 + n_chars) under boost_mode=multiply; the top-k re-cut happens
+    on the COMBINED score (rank order genuinely changes vs relevance
+    order — long docs climb)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.search_body import (
+        function_score_topk,
+    )
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    attrs = _attrs_engine_keyed(spark, sf_dir, index_dir)
+    out = function_score_topk(
+        eng, " ".join(BM25_QUERY_TERMS), attrs,
+        F.log1p(F.col("n_chars")), k=BM25_K, boost_mode="multiply",
+    )
+    return _ext_topk(out, attrs, []).select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.round("func_value", 4).alias("func_value"),
+        F.round("new_score", 4).alias("new_score"),
+    )
