@@ -105,3 +105,89 @@ def search_facets(
     matches = eng.match_ids(query, min_should_match=min_should_match,
                             max_expansions=max_expansions)
     return facet_counts(matches.join(attrs, "doc_id"), facets, size)
+
+
+def significant_terms(
+    engine,
+    query: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 10,
+    min_doc_count: int = 3,
+    min_should_match=None,
+) -> DataFrame:
+    """OpenSearch significant_terms/significant_text aggregation: terms
+    whose frequency in the query's match set (foreground) departs most
+    from their corpus frequency (background), scored with JLH — ES's
+    default significance heuristic:
+
+        score = (fg% - bg%) * (fg% / bg%)   where fg% = fg_df / fg_n
+
+    Foreground doc frequencies come from RE-ANALYZING only the MATCHED
+    docs (``significant_text`` semantics — we store no term vectors,
+    the same rationale as the highlighter/MLT), so the tokenize cost is
+    bounded by the match set, never the corpus. Background frequencies
+    are the index DICTIONARY dfs (one filtered two-column aggregate —
+    the postings are never read), and the background doc count is the
+    index's n_docs, exactly the index-wide statistics OpenSearch uses.
+    Buckets keep fg_df >= ``min_doc_count`` (ES default 3) and fg% >
+    bg% (JLH is meaningless for under-represented terms), top ``size``
+    by score desc / term asc.
+
+    ``docs`` carries (doc_id, ``text_col``) keyed by ENGINE doc_id.
+    Plan shape: match-emit -> left-semi join -> per-doc distinct-token
+    explode -> hash aggregate -> dictionary join -> 1-row foreground
+    count broadcast -> TakeOrdered. No driver collect.
+    """
+    from pyspark.sql import functions as F
+
+    from data_prep_opensearch_spark.functions.tokenize import (
+        SIMPLE_TOKEN_SQL_PATTERN,
+    )
+
+    matches = engine.match_ids(query, min_should_match=min_should_match)
+    bg_n = int(engine.meta["n_docs"])
+    fg_docs = docs.join(matches, "doc_id", "left_semi")
+    mode = engine.meta["tokenizer"]
+    if mode == "simple":
+        # pure-Catalyst re-analysis (JVM regex, codegen'd)
+        toks = F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(f"({SIMPLE_TOKEN_SQL_PATTERN})"), 1)
+        )
+    else:
+        # 'code' and friends: Arrow-batched twin of the index analyzer
+        import pandas as pd  # noqa: F401  (Arrow batch transport)
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        from data_prep_opensearch_spark.functions.tokenize import TOKENIZERS
+
+        tok_fn = TOKENIZERS[mode]
+
+        def _tok(col):
+            return col.map(lambda s: sorted(set(tok_fn(s or ""))))
+
+        toks = pandas_udf(_tok, T.ArrayType(T.StringType()))(F.col(text_col))
+    fg = (
+        fg_docs.select(F.explode(toks).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("fg_df"))
+    )
+    fgn = matches.agg(F.count("*").alias("fg_n"))
+    bg = (
+        engine.seg.select("term", "df")
+        .groupBy("term").agg(F.sum("df").alias("bg_df"))
+    )
+    fg_pct = F.col("fg_df") / F.col("fg_n")
+    bg_pct = F.col("bg_df") / F.lit(bg_n)
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fgn))
+        .filter((F.col("fg_df") >= min_doc_count) & (fg_pct > bg_pct))
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+        .select("term", F.col("fg_df").cast("long").alias("fg_df"),
+                F.col("bg_df").cast("long").alias("bg_df"),
+                F.col("score").cast("double").alias("score"))
+    )

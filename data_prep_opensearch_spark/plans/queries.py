@@ -3491,3 +3491,71 @@ def ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("func_value", 4).alias("func_value"),
         F.round("new_score", 4).alias("new_score"),
     )
+
+
+SIGTERMS_QUERY = "dup"
+SIGTERMS_SIZE = 10
+SIGTERMS_MIN_DC = 3
+
+
+@register(
+    "ft_significant_terms",
+    f"""
+    WITH tokd AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    m AS (SELECT DISTINCT doc_id FROM tokd WHERE term = '{SIGTERMS_QUERY}'),
+    fgn AS (SELECT count(*) AS fg_n FROM m),
+    bgn AS (SELECT count(*) AS bg_n FROM documents),
+    bg AS (SELECT term, count(*) AS bg_df FROM tokd GROUP BY term),
+    fg AS (
+      SELECT t.term, count(*) AS fg_df
+      FROM tokd t JOIN m ON t.doc_id = m.doc_id
+      GROUP BY t.term
+    )
+    SELECT fg.term, fg.fg_df, bg.bg_df,
+           round((1.0 * fg.fg_df / fgn.fg_n - 1.0 * bg.bg_df / bgn.bg_n)
+                 * (1.0 * fg.fg_df / fgn.fg_n)
+                 / (1.0 * bg.bg_df / bgn.bg_n), 6) AS score
+    FROM fg JOIN bg ON fg.term = bg.term
+    CROSS JOIN fgn CROSS JOIN bgn
+    WHERE fg.fg_df >= {SIGTERMS_MIN_DC}
+      AND 1.0 * fg.fg_df / fgn.fg_n > 1.0 * bg.bg_df / bgn.bg_n
+    ORDER BY (1.0 * fg.fg_df / fgn.fg_n - 1.0 * bg.bg_df / bgn.bg_n)
+             * (1.0 * fg.fg_df / fgn.fg_n) / (1.0 * bg.bg_df / bgn.bg_n) DESC,
+             fg.term ASC
+    LIMIT {SIGTERMS_SIZE}
+    """,
+    covers=["O7o significant_terms aggregation: JLH-scored foreground "
+            "vs background term frequencies over the match set"],
+)
+def ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms for the match set of `dup` (a rare term — its
+    25-doc foreground is a genuine subset): foreground dfs re-analyzed
+    from ONLY the matched docs, background dfs read from the index
+    dictionary (two columns, postings untouched), JLH scoring, ES
+    min_doc_count=3 gate. `dup` itself tops the list by construction —
+    OpenSearch behaves the same (the query term is maximally
+    significant in its own match set)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.facets import significant_terms
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    stats = read_doc_stats(spark, index_dir).select(
+        F.col("doc_id").alias("engine_doc_id"),
+        F.col("path").cast("long").alias("ext_id"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ext_id"), "text"
+    ).join(stats, "ext_id").select(
+        F.col("engine_doc_id").alias("doc_id"), "text"
+    )
+    out = significant_terms(
+        eng, SIGTERMS_QUERY, docs, size=SIGTERMS_SIZE,
+        min_doc_count=SIGTERMS_MIN_DC,
+    )
+    return out.withColumn("score", F.round("score", 6))
