@@ -3559,3 +3559,159 @@ def ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_doc_count=SIGTERMS_MIN_DC,
     )
     return out.withColumn("score", F.round("score", 6))
+
+
+# ---------------------------------------------------------------------------
+# multi_match: per-field indexes (title derived from text) + dis_max
+# ---------------------------------------------------------------------------
+
+TITLE_TOKENS = 5
+MM_TITLE_BOOST = 2.0
+MM_TIE = 0.3
+
+
+def _ensure_title_index(spark: SparkSession, sf_dir: str) -> str:
+    """Second FIELD index: content = the doc's derived title (first
+    TITLE_TOKENS tokens). Built from the SAME (repo, path, commit) keys
+    and n_shards as the text index, so assign_doc_ids (a pure function
+    of keys) puts every doc at the same docID in both — the alignment
+    multi_match combines on."""
+    import hashlib
+    import os
+
+    from data_prep_opensearch_spark.operators.index_build import build_index
+
+    import data_prep_opensearch_spark as pkg
+
+    tag = hashlib.sha256(
+        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+title{TITLE_TOKENS}".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/dposs_idx_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        src = load(spark, sf_dir, "documents").select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+            F.col("lang").alias("lang"),
+            F.array_join(
+                F.slice(_tokens(F.col("text")), 1, TITLE_TOKENS), " "
+            ).alias("content"),
+        )
+        build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+    return index_dir
+
+
+def _field_scored_cte(rel: str, alias: str, terms: list[str]) -> str:
+    """One field's BM25 scored-match CTE block (per-field statistics —
+    best_fields semantics), emitting `scored_{alias}(doc_id, raw)`."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    a = alias
+    return f"""
+    tok_{a} AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM {rel}
+    ),
+    tf_{a} AS (SELECT doc_id, term, count(*) AS tf FROM tok_{a} GROUP BY doc_id, term),
+    dl_{a} AS (SELECT doc_id, count(*) AS dl FROM tok_{a} GROUP BY doc_id),
+    stats_{a} AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl_{a}),
+    dft_{a} AS (SELECT term, count(*) AS df FROM tf_{a} GROUP BY term),
+    scored_{a} AS (
+      SELECT tf_{a}.doc_id AS doc_id,
+             sum(
+               ln((stats_{a}.n - dft_{a}.df + 0.5) / (dft_{a}.df + 0.5) + 1.0)
+               * (tf_{a}.tf * ({K1} + 1.0))
+               / (tf_{a}.tf + {K1} * (1.0 - {B} + {B} * (dl_{a}.dl / stats_{a}.avgdl)))
+             ) AS raw
+      FROM tf_{a}
+      JOIN (SELECT unnest([{term_list}]) AS term) q_{a} ON tf_{a}.term = q_{a}.term
+      JOIN dft_{a} ON tf_{a}.term = dft_{a}.term
+      JOIN dl_{a} ON tf_{a}.doc_id = dl_{a}.doc_id
+      CROSS JOIN stats_{a}
+      GROUP BY tf_{a}.doc_id
+    )
+"""
+
+
+def _multi_match_sql(terms: list[str], k: int, match_type: str) -> str:
+    """Two-field multi_match oracle: text field + derived title field
+    (first TITLE_TOKENS tokens), title boosted MM_TITLE_BOOST,
+    dis_max + MM_TIE tie_breaker (best_fields) or plain sum
+    (most_fields). NOTE: the title index's avgdl/df are computed over
+    ALL docs (the engine indexes every doc's title), so the title
+    relation must cover every doc too."""
+    if match_type == "best_fields":
+        final = f"best + {MM_TIE} * (total - best)"
+    else:
+        final = "total"
+    return f"""
+    WITH titles AS (
+      SELECT doc_id,
+             array_to_string((regexp_extract_all(lower(text), '([a-z0-9_]+)', 1))[1:{TITLE_TOKENS}], ' ') AS text
+      FROM documents
+    ),
+    {_field_scored_cte('documents', 't', terms)},
+    {_field_scored_cte('titles', 'h', terms)},
+    u AS (
+      SELECT doc_id, raw * 1.0 AS s FROM scored_t
+      UNION ALL
+      SELECT doc_id, raw * {MM_TITLE_BOOST} AS s FROM scored_h
+    ),
+    agg AS (SELECT doc_id, max(s) AS best, sum(s) AS total FROM u GROUP BY doc_id)
+    SELECT doc_id, round({final}, 4) AS score
+    FROM agg
+    ORDER BY ({final}) DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+def _mm_engines(spark: SparkSession, sf_dir: str):
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    text_dir = _ensure_docs_index(spark, sf_dir)
+    title_dir = _ensure_title_index(spark, sf_dir)
+    return text_dir, {
+        "text": (BM25Engine(spark, text_dir, cache=True), 1.0),
+        "title": (BM25Engine(spark, title_dir, cache=True), MM_TITLE_BOOST),
+    }
+
+
+@register(
+    "ft_multi_match",
+    _multi_match_sql(BM25_QUERY_TERMS, BM25_K, "best_fields"),
+    covers=["O7p multi_match best_fields: per-field indexes, dis_max + "
+            "tie_breaker, per-field boosts and statistics"],
+)
+def ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """best_fields over (text, title^2) with tie_breaker 0.3: the title
+    index is a REAL second segment index over the derived title field,
+    docID-aligned with the text index by key-deterministic assignment;
+    each field keeps its own idf/avgdl (ES per-field statistics)."""
+    from data_prep_opensearch_spark.operators.multi_match import (
+        multi_match_topk,
+    )
+
+    text_dir, engines = _mm_engines(spark, sf_dir)
+    out = multi_match_topk(engines, " ".join(BM25_QUERY_TERMS), k=BM25_K,
+                           match_type="best_fields", tie_breaker=MM_TIE)
+    return _engine_topk_to_external(out, spark, text_dir)
+
+
+@register(
+    "ft_multi_match_most",
+    _multi_match_sql(BM25_QUERY_TERMS, BM25_K, "most_fields"),
+    covers=["O7p multi_match most_fields: boosted per-field score sum"],
+)
+def ft_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_fields over the same two field indexes: boosted score sum
+    (rank order genuinely differs from best_fields when title and text
+    agree)."""
+    from data_prep_opensearch_spark.operators.multi_match import (
+        multi_match_topk,
+    )
+
+    text_dir, engines = _mm_engines(spark, sf_dir)
+    out = multi_match_topk(engines, " ".join(BM25_QUERY_TERMS), k=BM25_K,
+                           match_type="most_fields")
+    return _engine_topk_to_external(out, spark, text_dir)
