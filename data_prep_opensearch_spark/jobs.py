@@ -106,6 +106,39 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--min-term-freq", type=int, default=None)
     ml.add_argument("--min-doc-freq", type=int, default=None)
 
+    sr = sub.add_parser(
+        "search",
+        description="OpenSearch-style search body: scored query plus "
+                    "optional filter context, sort, function_score, "
+                    "facets, or multi-field dis_max.",
+    )
+    sr.add_argument("--index", default=None,
+                    help="single-field index dir (or use --field)")
+    sr.add_argument("--field", action="append", default=[],
+                    metavar="NAME=DIR[^BOOST]",
+                    help="repeatable; >= 2 fields run multi_match")
+    sr.add_argument("--q", required=True)
+    sr.add_argument("--k", type=int, default=10)
+    sr.add_argument("--min-should-match", default=None)
+    sr.add_argument("--type", default="best_fields",
+                    choices=["best_fields", "most_fields"])
+    sr.add_argument("--tie-breaker", type=float, default=0.0)
+    sr.add_argument("--attrs", default=None,
+                    help="parquet of per-doc attributes keyed by doc_id")
+    sr.add_argument("--filter-sql", default=None,
+                    help="SQL boolean over attr columns (filter context)")
+    sr.add_argument("--sort", default=None,
+                    help="comma list col[:asc|:desc]; 'score' mixes "
+                         "relevance in")
+    sr.add_argument("--function-score", default=None,
+                    help="SQL expr over attr columns (field_value_factor)")
+    sr.add_argument("--boost-mode", default="multiply",
+                    choices=["multiply", "sum", "replace", "max", "min",
+                             "avg"])
+    sr.add_argument("--facets", default=None,
+                    help="comma list of attr columns to bucket-count")
+    sr.add_argument("--facet-size", type=int, default=10)
+
     sg = sub.add_parser(
         "suggest",
         description="suggesters: --text for did-you-mean term "
@@ -273,6 +306,114 @@ def main(argv: list[str] | None = None) -> int:
             min_term_freq=args.min_term_freq,
             min_doc_freq=args.min_doc_freq,
         ).collect()
+        print(json.dumps(
+            [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+        ))
+    elif args.cmd == "search":
+        from pyspark.sql import functions as F
+
+        from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+        msm = args.min_should_match
+        if msm is not None and msm != "all":
+            msm = int(msm)
+        if args.field and args.index:
+            raise SystemExit("search: pass --index OR --field, not both")
+        if len(args.field) >= 2:
+            from data_prep_opensearch_spark.operators.multi_match import (
+                multi_match_topk,
+            )
+
+            engines = {}
+            for spec in args.field:
+                name, _, rest = spec.partition("=")
+                d, _, boost = rest.partition("^")
+                engines[name] = (BM25Engine(spark, d, cache=False),
+                                 float(boost) if boost else 1.0)
+            rows = multi_match_topk(
+                engines, args.q, k=args.k, match_type=args.type,
+                tie_breaker=args.tie_breaker, min_should_match=msm,
+            ).collect()
+            print(json.dumps(
+                [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
+            ))
+            return 0
+        idx = args.index or (args.field[0].partition("=")[2]
+                             .partition("^")[0] if args.field else None)
+        if not idx:
+            raise SystemExit("search: pass --index or --field")
+        eng = BM25Engine(spark, idx, cache=False)
+        attrs = (spark.read.parquet(args.attrs)
+                 if args.attrs else None)
+        needs_attrs = args.filter_sql or args.sort or \
+            args.function_score or args.facets
+        if needs_attrs and attrs is None and not (
+                args.sort and all(
+                    c.split(":")[0] in ("score", "doc_id")
+                    for c in args.sort.split(","))):
+            raise SystemExit("search: this body needs --attrs")
+        if args.facets:
+            from data_prep_opensearch_spark.operators.facets import (
+                facet_counts,
+            )
+
+            matches = eng.match_ids(args.q, min_should_match=msm)
+            buckets = facet_counts(
+                matches.join(attrs, "doc_id"),
+                {c: c for c in args.facets.split(",")},
+                size=args.facet_size,
+            ).collect()
+            print(json.dumps([
+                {"facet": r["facet"], "value": r["value"],
+                 "n_docs": r["n_docs"]} for r in buckets
+            ]))
+            return 0
+        if args.function_score:
+            from data_prep_opensearch_spark.operators.search_body import (
+                function_score_topk,
+            )
+
+            rows = function_score_topk(
+                eng, args.q, attrs, F.expr(args.function_score),
+                k=args.k, boost_mode=args.boost_mode,
+                min_should_match=msm,
+            ).collect()
+            print(json.dumps([
+                {"doc_id": r["doc_id"], "score": r["score"],
+                 "func_value": r["func_value"],
+                 "new_score": r["new_score"]} for r in rows
+            ]))
+            return 0
+        if args.sort:
+            from data_prep_opensearch_spark.operators.search_body import (
+                sorted_topk,
+            )
+
+            sort = []
+            for part in args.sort.split(","):
+                col, _, d = part.partition(":")
+                sort.append((col, d.lower() != "desc"))
+            src = attrs if attrs is not None else \
+                eng.match_scores(args.q, msm).select("doc_id")
+            rows = sorted_topk(
+                eng, args.q, src, sort, k=args.k,
+                filter_expr=(F.expr(args.filter_sql)
+                             if args.filter_sql else None),
+                min_should_match=msm,
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+            return 0
+        if args.filter_sql:
+            from data_prep_opensearch_spark.operators.search_body import (
+                filtered_topk,
+            )
+
+            rows = filtered_topk(
+                eng, args.q, attrs, F.expr(args.filter_sql), k=args.k,
+                min_should_match=msm,
+            ).collect()
+        else:
+            rows = eng.topk(args.q, args.k, min_should_match=msm).collect()
         print(json.dumps(
             [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         ))
