@@ -32,6 +32,20 @@ def _spark(app: str):
     return get_spark(app_name=app)
 
 
+
+def _parse_synonyms(spec: str | None) -> dict[str, list[str]] | None:
+    """CLI synonym map: `a=b|c;d=e` -> {a: [b, c], d: [e]}."""
+    if not spec:
+        return None
+    out: dict[str, list[str]] = {}
+    for entry in spec.split(";"):
+        src, _, alts = entry.partition("=")
+        if not src or not alts:
+            raise SystemExit(f"bad --synonyms entry {entry!r}")
+        out[src.strip()] = [a.strip() for a in alts.split("|") if a.strip()]
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dposs-jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -79,6 +93,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(unified-highlighter re-analyze mode)")
     q.add_argument("--highlight-window", type=int, default=20,
                    help="snippet window in tokens (default 20)")
+    q.add_argument("--synonyms", default=None, metavar="A=B|C;D=E",
+                   help="query-time synonym map (Lucene SynonymQuery "
+                        "blended statistics)")
 
     ex = sub.add_parser(
         "explain",
@@ -138,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--facets", default=None,
                     help="comma list of attr columns to bucket-count")
     sr.add_argument("--facet-size", type=int, default=10)
+    sr.add_argument("--synonyms", default=None, metavar="A=B|C;D=E",
+                    help="query-time synonym map")
 
     sg = sub.add_parser(
         "suggest",
@@ -222,6 +241,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(meta))
     elif args.cmd == "query":
         msm = args.msm if args.msm in (None, "all") else int(args.msm)
+        syn = _parse_synonyms(args.synonyms)
         after = None
         if args.search_after:
             s_str, d_str = args.search_after.rsplit(",", 1)
@@ -233,7 +253,8 @@ def main(argv: list[str] | None = None) -> int:
             rows = eng.topk_local(args.q, args.k, scorer=args.scorer,
                                   min_should_match=msm,
                                   max_expansions=args.max_expansions,
-                                  search_after=after).collect()
+                                  search_after=after,
+                                  synonyms=syn).collect()
         else:
             from data_prep_opensearch_spark.operators.bm25 import query_topk
 
@@ -241,7 +262,8 @@ def main(argv: list[str] | None = None) -> int:
                               scorer=args.scorer,
                               min_should_match=msm,
                               max_expansions=args.max_expansions,
-                              search_after=after).collect()
+                              search_after=after,
+                              synonyms=syn).collect()
         out = [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         if args.highlight_source and out:
             from pyspark.sql import functions as F
@@ -413,7 +435,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_should_match=msm,
             ).collect()
         else:
-            rows = eng.topk(args.q, args.k, min_should_match=msm).collect()
+            rows = eng.topk(args.q, args.k, min_should_match=msm,
+                            synonyms=_parse_synonyms(args.synonyms)).collect()
         print(json.dumps(
             [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]
         ))

@@ -640,7 +640,8 @@ class BM25Engine:
         return 1.0 - dist / min(len(term), len(stem))
 
     def _plan_clauses(
-        self, query: str, max_expansions: int | None = None
+        self, query: str, max_expansions: int | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> tuple[list[list[str]], int, list[str],
                list[list[str]], list[list[str]], dict[str, float]]:
         """Parse a query into CLAUSES: each literal term is one clause;
@@ -664,6 +665,28 @@ class BM25Engine:
         literals, prefixes, neg_lit, neg_pre, phrases, neg_phrases = (
             parse_query(query, tok, phrase_tok=PHRASE_TOKENIZERS[mode])
         )
+        # query-time synonyms (OpenSearch synonym filter): each entry
+        # turns the literal's clause into a scoring-boolean GROUP whose
+        # members share Lucene SynonymQuery's BLENDED statistics — every
+        # member scores with idf(max df over the group), folded into the
+        # per-term weight map as the ratio blended_idf/raw_idf (<= 1, so
+        # WAND/MaxScore upper bounds stay admissible and no scorer tier
+        # changes). Deliberate, documented divergence from Lucene's
+        # SynonymQuery: members keep their OWN tf_norm (contributions
+        # sum per member) instead of a merged-postings summed tf —
+        # tf_norm is concave, a merged sum is not expressible in the
+        # one-posting-scan-row-per-term model every tier shares. The
+        # group counts ONCE toward min_should_match; `-term` exclusions
+        # expand through the map too (analyzer symmetry).
+        syn_map: dict[str, list[str]] = {}
+        for src, alts in (synonyms or {}).items():
+            key = tok(src.lower())
+            out_alts = [a for alt in alts for a in tok(alt.lower())]
+            if len(key) != 1:
+                raise ValueError(
+                    f"synonym source {src!r} must analyze to exactly one "
+                    f"term (got {key})")
+            syn_map[key[0]] = sorted(set(out_alts) - {key[0]})
         # a term reachable through several clauses scores ONCE with its
         # MAXIMAL weight (an unboosted literal = 1.0; `^B` scales its
         # chunk's clauses; fuzzy expansions additionally carry their
@@ -679,9 +702,19 @@ class BM25Engine:
             s = str(t)
             lit_best[s] = max(lit_best.get(s, 0.0),
                               getattr(t, "boost", 1.0))
-        clauses: list[list[str]] = [[t] for t in sorted(lit_best)]
-        for t, b in lit_best.items():
-            bump(t, b)
+        clauses: list[list[str]] = []
+        syn_groups: list[tuple[list[str], float]] = []
+        for t in sorted(lit_best):
+            b = lit_best[t]
+            alts = syn_map.get(t, [])
+            if alts:
+                members = [t] + alts
+                clauses.append(members)
+                # weights resolve after df resolution (blended idf)
+                syn_groups.append((members, b))
+            else:
+                clauses.append([t])
+                bump(t, b)
 
         def _dedup_stems(stems_in: list[str]) -> list[str]:
             # Fuzzy/Boosted subclass str, so a plain set would collapse
@@ -710,6 +743,8 @@ class BM25Engine:
                 for t in exp_p:
                     bump(t, b)
         negs: set[str] = set(neg_lit)
+        for t in neg_lit:
+            negs.update(syn_map.get(str(t), []))
         for stem in _dedup_stems(neg_pre):
             if isinstance(stem, Fuzzy):
                 negs.update(t for t, _, _ in self.expand_fuzzy(
@@ -717,7 +752,6 @@ class BM25Engine:
             else:
                 negs.update(t for t, _ in
                             self.expand_prefix(stem, max_expansions))
-        boosts = {t: w for t, w in weights.items() if w != 1.0}
         n_clauses = len(clauses) + len(phrases)
         flat = sorted(
             {t for cl in clauses for t in cl} | negs
@@ -725,6 +759,17 @@ class BM25Engine:
             | {t for ph in neg_phrases for t in ph}
         )
         df_map = self.resolve_df(flat)
+        # synonym groups: blended statistics need the dfs — every live
+        # member's weight is boost * idf(max group df) / idf(own df)
+        n_docs = int(self.meta["n_docs"])
+        for members, b in syn_groups:
+            live = [m for m in members if df_map[m] > 0]
+            if not live:
+                continue
+            blended = idf(n_docs, max(df_map[m] for m in live))
+            for m in live:
+                bump(m, b * blended / idf(n_docs, df_map[m]))
+        boosts = {t: w for t, w in weights.items() if w != 1.0}
         kept = [
             [t for t in cl if df_map[t] > 0] for cl in clauses
         ]
@@ -845,6 +890,7 @@ class BM25Engine:
         min_should_match: int | str | None = None,
         max_expansions: int | None = None,
         search_after: tuple[float, int] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame | pd.DataFrame:
         """Driver-local LATENCY TIER: identical scores to ``topk`` (same
         scorer kernels on the same decoded bytes — parity-tested), but
@@ -882,7 +928,7 @@ class BM25Engine:
             return spark.createDataFrame(pdf, TOPK_SCHEMA)
 
         clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
-            self._plan_clauses(query, max_expansions)
+            self._plan_clauses(query, max_expansions, synonyms)
         )
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
@@ -899,7 +945,7 @@ class BM25Engine:
         if sum(df_map[t] for t in terms + negs + pterms) > cap:
             dist = self.topk(query, k, scorer, min_should_match=msm,
                              max_expansions=max_expansions,
-                             search_after=search_after)
+                             search_after=search_after, synonyms=synonyms)
             return dist.toPandas() if as_pandas else dist
         if pterms:
             self._ensure_local_pos(pterms)
@@ -1100,6 +1146,7 @@ class BM25Engine:
         min_should_match: int | str | None = None,
         max_expansions: int | None = None,
         search_after: tuple[float, int] | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """``min_should_match``: require >= m of the query's CLAUSES per
         result doc (``"all"`` = pure AND; default/1 = OR). A literal
@@ -1123,7 +1170,8 @@ class BM25Engine:
         network at k per partition as usual."""
         if search_after is not None:
             local = self._shard_scored(query, None, "dense",
-                                       min_should_match, max_expansions)
+                                       min_should_match, max_expansions,
+                                       synonyms)
             if local is not None:
                 s, d = float(search_after[0]), int(search_after[1])
                 local = local.filter(
@@ -1132,14 +1180,16 @@ class BM25Engine:
                 )
         else:
             local = self._shard_scored(query, k, scorer, min_should_match,
-                                       max_expansions)
+                                       max_expansions, synonyms)
         if local is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def explain(self, query: str, doc_id: int,
                 min_should_match: int | str | None = None,
-                max_expansions: int | None = None) -> pd.DataFrame:
+                max_expansions: int | None = None,
+                synonyms: dict[str, list[str]] | None = None,
+                ) -> pd.DataFrame:
         """Lucene-style explain: the per-clause score breakdown of ONE
         document under ``query`` — columns (clause, kind, tf, df, idf,
         weight, tf_norm, contribution); the doc's score is the
@@ -1154,7 +1204,7 @@ class BM25Engine:
         never a bulk path."""
         self._maybe_refresh()
         clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
-            self._plan_clauses(query, max_expansions)
+            self._plan_clauses(query, max_expansions, synonyms)
         )
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
@@ -1326,6 +1376,7 @@ class BM25Engine:
         self, query: str,
         min_should_match: int | str | None = None,
         max_expansions: int | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """ALL docIDs satisfying the boolean query — no top-k cut. This
         is the aggregation/facet entry point (OpenSearch runs its aggs
@@ -1336,12 +1387,13 @@ class BM25Engine:
         distributed (one row per match, linear shuffle into whatever
         aggregation follows; never a driver collect)."""
         return self.match_scores(query, min_should_match,
-                                 max_expansions).select("doc_id")
+                                 max_expansions, synonyms).select("doc_id")
 
     def match_scores(
         self, query: str,
         min_should_match: int | str | None = None,
         max_expansions: int | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """(doc_id, score) for EVERY doc satisfying the boolean query —
         ``match_ids`` plus the BM25 score, same full-emission kernel
@@ -1353,7 +1405,7 @@ class BM25Engine:
         stays distributed; shards are disjoint docID ranges so there
         are no cross-shard duplicates."""
         local = self._shard_scored(query, None, "dense", min_should_match,
-                                   max_expansions)
+                                   max_expansions, synonyms)
         if local is None:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         return local
@@ -1362,6 +1414,7 @@ class BM25Engine:
         self, query: str, k: int | None, scorer: str,
         min_should_match: int | str | None,
         max_expansions: int | None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame | None:
         """Plan + per-shard scoring shared by ``topk`` (k-cut per shard)
         and ``match_ids`` (``k=None``: emit every positive-score doc —
@@ -1369,7 +1422,7 @@ class BM25Engine:
         matches' costs the same kernel pass as top-k)."""
         self._maybe_refresh()
         clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
-            self._plan_clauses(query, max_expansions)
+            self._plan_clauses(query, max_expansions, synonyms)
         )
         msm = resolve_msm(min_should_match, n_clauses)
         terms = sorted({t for cl in clauses for t in cl})
@@ -1446,6 +1499,7 @@ class BM25Engine:
         self, queries: list[str], k: int = 10, scorer: str = "auto",
         min_should_match: int | str | None = None,
         max_expansions: int | None = None,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Score a BATCH of queries in ONE Spark job (returns (query_id,
         doc_id, score); query_id = position in ``queries``).
@@ -1459,7 +1513,7 @@ class BM25Engine:
         Queries with no indexed terms return no rows."""
         self._maybe_refresh()
         spark = self.spark
-        clause_plans = [self._plan_clauses(q, max_expansions)
+        clause_plans = [self._plan_clauses(q, max_expansions, synonyms)
                         for q in queries]
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
 
@@ -1571,11 +1625,13 @@ def query_topk(
     min_should_match: int | str | None = None,
     max_expansions: int | None = None,
     search_after: tuple[float, int] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """One-shot top-k BM25 (cold engine) — see BM25Engine for warm reuse."""
     return BM25Engine(spark, index_dir, cache=False).topk(
         query, k, scorer, min_should_match=min_should_match,
         max_expansions=max_expansions, search_after=search_after,
+        synonyms=synonyms,
     )
 
 

@@ -3715,3 +3715,78 @@ def ft_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multi_match_topk(engines, " ".join(BM25_QUERY_TERMS), k=BM25_K,
                            match_type="most_fields")
     return _engine_topk_to_external(out, spark, text_dir)
+
+
+SYN_GROUP = ["stream", "batch", "dup"]
+SYN_LIT = "sort"
+
+
+def _bm25_synonyms_sql(group: list[str], lit: str, k: int) -> str:
+    """BM25 with a query-time synonym group under Lucene SynonymQuery
+    blended statistics: every group member scores with idf(max df over
+    the group) and its OWN tf_norm; the group is ONE clause under
+    min_should_match=2 next to the literal clause."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    grp_list = ", ".join(f"'{t}'" for t in sorted(group))
+    all_list = ", ".join(f"'{t}'" for t in sorted(set(group) | {lit}))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bdf AS (SELECT max(df) AS bdf FROM dft WHERE term IN ({grp_list})),
+    contrib AS (
+      SELECT tf.doc_id,
+             CASE WHEN tf.term = '{lit}'
+                  THEN ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                  ELSE ln((stats.n - bdf.bdf + 0.5) / (bdf.bdf + 0.5) + 1.0)
+             END
+             * (tf.tf * ({K1} + 1.0))
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl))) AS c,
+             CASE WHEN tf.term = '{lit}' THEN 'lit' ELSE 'grp' END AS clause
+      FROM tf
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats CROSS JOIN bdf
+      WHERE tf.term IN ({all_list})
+    ),
+    agg AS (
+      SELECT doc_id, sum(c) AS raw, count(DISTINCT clause) AS n_clauses
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS score
+    FROM agg WHERE n_clauses >= 2
+    ORDER BY raw DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_synonyms",
+    _bm25_synonyms_sql(SYN_GROUP, SYN_LIT, BM25_K),
+    covers=["O7q query-time synonyms: Lucene SynonymQuery blended "
+            "statistics (idf of max group df), group counts once "
+            "under min_should_match"],
+)
+def ft_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sort stream` AND-composed (msm=2) with stream expanded through
+    the synonym map {stream: [batch, dup]}: the group is ONE clause (a
+    doc matching only batch+dup still satisfies the group), and every
+    member — including the rare `dup`, df 25 vs stream's 394 — scores
+    with the BLENDED idf of the group's max df, so a rare synonym can
+    never dominate (the SynonymQuery rationale)."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    out = eng.topk(
+        f"{SYN_LIT} {SYN_GROUP[0]}", BM25_K, min_should_match=2,
+        synonyms={SYN_GROUP[0]: SYN_GROUP[1:]},
+    )
+    return _engine_topk_to_external(out, spark, index_dir).withColumn(
+        "score", F.round("score", 4))
