@@ -54,7 +54,17 @@ catalog's checkpoint-heavy queries 2-4x even after unpersist):
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), BENCH_CORPUS_DOCS (default 500000),
      BENCH_LOW_CORES (default 2), BENCH_TRIALS (default 5),
-     BENCH_SCALING_RETRIES (default 4).
+     BENCH_SCALING_RETRIES (default 4), BENCH_SCALING_WALL_BUDGET
+     (default 3000 s — the scaling loop stops launching pairs past
+     this, whatever the clean count: under heavy co-tenancy a 2-core
+     500k-doc build can take 8-10 min, and 5+4 such pairs would
+     otherwise blow through the whole bench window and truncate the
+     artifact, the r3 failure mode at section scale. The budget trades
+     against the MIN estimator: fewer pairs = the min wall may not
+     have sampled a clean window — the dress-run receipts show lo
+     walls 192->624 s at IDENTICAL utilization and near-clean meters,
+     so only min-over-many-pairs defends against the invisible
+     component of co-tenancy).
 """
 
 from __future__ import annotations
@@ -77,6 +87,7 @@ CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "500000"))
 LOW = int(os.environ.get("BENCH_LOW_CORES", "2"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 RETRIES = int(os.environ.get("BENCH_SCALING_RETRIES", "4"))
+WALL_BUDGET = float(os.environ.get("BENCH_SCALING_WALL_BUDGET", "3000"))
 CPUS_PER_SLOT = 2  # 1 JVM task thread + 1 python worker per task slot
 GATE_TRIAL = 0.88   # trial clean iff meter_rate >= this x session best
 GATE_SPREAD = 0.12  # pair clean iff |r_lo - r_hi| / max <= this
@@ -489,12 +500,19 @@ def _run_scaling_section(corpus_dir: str) -> dict:
     # run until TRIALS provisionally-clean pairs exist or the retry
     # budget is spent; dirty pairs stay on the record (receipts) but a
     # dirty pair earns an extra attempt instead of consuming a trial
+    t0 = time.monotonic()
+    budget_hit = False
     while attempts < TRIALS + RETRIES:
         rec = run_pair(flip=attempts % 2 == 1)
         attempts += 1
         pairs.append(rec)
         best_cpu, best_mem = _bests()
         if sum(1 for p in pairs if _is_clean(p, best_cpu, best_mem)) >= TRIALS:
+            break
+        if time.monotonic() - t0 > WALL_BUDGET:
+            # co-tenant weather can stretch one low-level build to
+            # ~10 min; finishing the artifact beats chasing clean pairs
+            budget_hit = True
             break
 
     # final gate against the FINAL session best (early pairs judged
@@ -519,6 +537,17 @@ def _run_scaling_section(corpus_dir: str) -> dict:
     gated = eff_from(clean)
     headline = gated if gated is not None else raw
     eff, t_lo, t_hi = headline
+    sanity_note = None
+    if eff > 1.05:
+        # efficiency over unity is non-physical: the LOW-parallelism min
+        # wall never sampled a weather-clean window (steal on the
+        # build's own cpus is invisible to both meters AND the
+        # utilization receipt — see BENCH_DETAIL trials). The criterion
+        # direction (>= 0.8) is still evidenced; flag the record.
+        sanity_note = (
+            f"efficiency > 1 is non-physical: lo-level min wall "
+            f"weather-inflated across only {len(pairs)} pairs; "
+            "raise BENCH_SCALING_WALL_BUDGET for a converged min")
 
     # positional-stream attribution receipt (round 5 stores pos_bytes by
     # default — INDEX_FORMAT_VERSION 4): ONE extra high-level build
@@ -546,6 +575,9 @@ def _run_scaling_section(corpus_dir: str) -> dict:
     ]
     return {
         "docs": CORPUS_DOCS,
+        "wall_budget_hit": budget_hit,
+        "scaling_wall_sec": round(time.monotonic() - t0, 1),
+        "scaling_sanity_note": sanity_note,
         "protocol": (
             f"taskset {CPUS_PER_SLOT}cpu/slot virtual executors on "
             f"per-cpu-probe-chosen clean sets; up to {TRIALS}+{RETRIES} "
@@ -872,6 +904,7 @@ def main() -> None:
         "scaling_efficiency": ib.get("scaling_efficiency"),
         "scaling_efficiency_raw": ib.get("scaling_efficiency_raw"),
         "scaling_pairs_clean": f"{ib.get('pairs_clean')}/{ib.get('pairs_run')}",
+        "scaling_sanity_note": ib.get("scaling_sanity_note"),
         f"local{LOW}_sec": ib.get(f"local{LOW}_sec"),
         f"local{high}_sec": ib.get(f"local{high}_sec"),
         f"local{high}_docs_per_sec": ib.get(f"local{high}_docs_per_sec"),
@@ -901,6 +934,8 @@ def main() -> None:
     # the contract fields (metric/value/unit/sf/queries) and the
     # headline scaling numbers are never dropped.
     line = json.dumps(summary, separators=(",", ":"))
+    if summary.get("scaling_sanity_note") is None:
+        summary.pop("scaling_sanity_note", None)
     for victim in ("bm25_p50_ms", "lsh_fresh_session_sec",
                    "bm25_batch_meter_rate", "scaling_efficiency_raw",
                    "detail"):

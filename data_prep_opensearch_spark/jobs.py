@@ -157,6 +157,14 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--facet-size", type=int, default=10)
     sr.add_argument("--synonyms", default=None, metavar="A=B|C;D=E",
                     help="query-time synonym map")
+    sr.add_argument("--rescore-q", default=None,
+                    help="rescore window: second-pass query (full "
+                         "query language, e.g. a phrase)")
+    sr.add_argument("--rescore-window", type=int, default=50)
+    sr.add_argument("--query-weight", type=float, default=1.0)
+    sr.add_argument("--rescore-weight", type=float, default=1.0)
+    sr.add_argument("--score-mode", default="total",
+                    choices=["total", "multiply", "avg", "max", "min"])
 
     sg = sub.add_parser(
         "suggest",
@@ -374,6 +382,24 @@ def main(argv: list[str] | None = None) -> int:
                     c.split(":")[0] in ("score", "doc_id")
                     for c in args.sort.split(","))):
             raise SystemExit("search: this body needs --attrs")
+        if args.rescore_q:
+            from data_prep_opensearch_spark.operators.search_body import (
+                rescore_topk,
+            )
+
+            rows = rescore_topk(
+                eng, args.q, args.rescore_q,
+                window_size=args.rescore_window, k=args.k,
+                query_weight=args.query_weight,
+                rescore_weight=args.rescore_weight,
+                score_mode=args.score_mode, min_should_match=msm,
+            ).collect()
+            print(json.dumps([
+                {"doc_id": r["doc_id"], "score": r["score"],
+                 "rescore_score": r["rescore_score"],
+                 "new_score": r["new_score"]} for r in rows
+            ]))
+            return 0
         if args.facets:
             from data_prep_opensearch_spark.operators.facets import (
                 facet_counts,

@@ -119,3 +119,59 @@ def function_score_topk(
         .limit(k)
         .select("doc_id", "score", "func_value", "new_score")
     )
+
+
+RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def rescore_topk(
+    engine,
+    query: str,
+    rescore_query: str,
+    window_size: int = 50,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+    min_should_match: int | str | None = None,
+) -> DataFrame:
+    """OpenSearch `rescore` (Lucene QueryRescorer): re-rank the cheap
+    first-pass query's top ``window_size`` hits with a more expensive
+    ``rescore_query`` (classically a phrase/proximity query — the full
+    query language is accepted), combining
+
+        new_score = query_weight * primary  <op>  rescore_weight * secondary
+
+    under ``score_mode`` (total/multiply/avg/max/min — ES semantics: a
+    window doc NOT matched by the rescore query keeps
+    ``query_weight * primary`` untouched), then the top-k cut on the
+    combined score (ties doc_id asc).
+
+    Scale shape: the first pass is the ordinary WAND top-k; the second
+    pass's kernel touches only the RESCORE query's postings and joins
+    against the tiny window frame (broadcast) — the corpus is never
+    rescored, exactly the point of a rescore window. Returns (doc_id,
+    score, rescore_score, new_score); ``rescore_score`` is NULL for
+    window docs the rescore query does not match."""
+    if score_mode not in RESCORE_MODES:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    win = engine.topk(query, window_size, min_should_match=min_should_match)
+    sec = engine.match_scores(rescore_query).withColumnRenamed(
+        "score", "rescore_score")
+    j = win.join(sec, "doc_id", "left")
+    p = F.col("score") * float(query_weight)
+    r = F.col("rescore_score") * float(rescore_weight)
+    combined = {
+        "total": p + r,
+        "multiply": p * r,
+        "avg": (p + r) / 2.0,
+        "max": F.greatest(p, r),
+        "min": F.least(p, r),
+    }[score_mode]
+    new = F.when(F.col("rescore_score").isNotNull(), combined).otherwise(p)
+    return (
+        j.withColumn("new_score", new.cast("double"))
+        .orderBy(F.desc("new_score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score", "rescore_score", "new_score")
+    )

@@ -3790,3 +3790,125 @@ def ft_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _engine_topk_to_external(out, spark, index_dir).withColumn(
         "score", F.round("score", 4))
+
+
+RESCORE_WINDOW = 50
+RESCORE_QW = 1.0
+RESCORE_RW = 2.0
+
+
+def _rescore_sql(terms: list[str], phrase: list[str], window: int, k: int,
+                 qw: float, rw: float) -> str:
+    """rescore oracle: primary OR-query window (raw-score order), then
+    new_score = qw*primary + rw*phrase_score for window docs the phrase
+    matches (phrase scored (Σ idf) * tf_norm(phrase_freq, dl) — the
+    engine's match_phrase weighting), primary-only otherwise."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    ph_list = ", ".join(f"'{t}'" for t in sorted(set(phrase)))
+    cond = " AND ".join(
+        f"toks[i+{j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9_]+)', 1) AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    prim AS (
+      SELECT tf.doc_id AS doc_id,
+             sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ) AS raw
+      FROM tf
+      JOIN (SELECT unnest([{term_list}]) AS term) q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    win AS (
+      SELECT doc_id, raw FROM prim
+      ORDER BY raw DESC, doc_id ASC LIMIT {window}
+    ),
+    pf AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(toks)), i -> {cond})) AS pf
+      FROM base
+    ),
+    phw AS (
+      SELECT sum(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)) AS w
+      FROM dft CROSS JOIN stats WHERE dft.term IN ({ph_list})
+    ),
+    sec AS (
+      SELECT pf.doc_id,
+             phw.w * (pf.pf * ({K1} + 1.0))
+             / (pf.pf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl))) AS s
+      FROM pf
+      JOIN dl ON pf.doc_id = dl.doc_id
+      CROSS JOIN stats CROSS JOIN phw
+      WHERE pf.pf > 0
+    ),
+    comb AS (
+      SELECT win.doc_id, win.raw,
+             sec.s AS rs,
+             CASE WHEN sec.s IS NULL THEN {qw} * win.raw
+                  ELSE {qw} * win.raw + {rw} * sec.s END AS ns
+      FROM win LEFT JOIN sec ON win.doc_id = sec.doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS score,
+           round(rs, 4) AS rescore_score,
+           round(ns, 4) AS new_score
+    FROM comb
+    ORDER BY ns DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_rescore",
+    _rescore_sql(BM25_QUERY_TERMS, PHRASE_TERMS, RESCORE_WINDOW, BM25_K,
+                 RESCORE_QW, RESCORE_RW),
+    covers=["O7r rescore window: Lucene QueryRescorer — phrase-proximity "
+            "second pass over the first-pass top window only"],
+)
+def ft_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rescore: the OR query's top-50 window re-ranked by the phrase
+    `\"merge sort\"` at rescore_weight 2 (score_mode total). Window docs
+    without the phrase keep their primary score — rank order genuinely
+    changes (phrase hits climb). The second pass's kernel reads only
+    the phrase terms' postings; the corpus is never rescored."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+    from data_prep_opensearch_spark.operators.search_body import rescore_topk
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    out = rescore_topk(
+        eng, " ".join(BM25_QUERY_TERMS),
+        '"' + " ".join(PHRASE_TERMS) + '"',
+        window_size=RESCORE_WINDOW, k=BM25_K,
+        query_weight=RESCORE_QW, rescore_weight=RESCORE_RW,
+        score_mode="total",
+    )
+    from data_prep_opensearch_spark.operators.manifest import read_doc_stats
+
+    stats = read_doc_stats(spark, index_dir).select(
+        F.col("doc_id").alias("engine_doc_id"),
+        F.col("path").cast("long").alias("ext_id"),
+    )
+    return (
+        out.join(stats, out["doc_id"] == stats["engine_doc_id"])
+        .select(
+            F.col("ext_id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            F.round("rescore_score", 4).alias("rescore_score"),
+            F.round("new_score", 4).alias("new_score"),
+        )
+    )
