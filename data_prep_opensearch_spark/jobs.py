@@ -203,12 +203,72 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--reason", default="")
 
+    st = sub.add_parser(
+        "stats",
+        description="index stats (_stats analogue): doc counts, "
+                    "segment/doclen layout and bytes, tombstones, "
+                    "GC-ledger state — no Spark session needed.",
+    )
+    st.add_argument("--index", required=True)
+
     gc = sub.add_parser("gc")
     gc.add_argument("--index", required=True)
     gc.add_argument("--grace-sec", type=float, default=None,
                     help="override $DPOSS_GC_GRACE_SEC; 0 drains everything")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "stats":
+        import os
+
+        from data_prep_opensearch_spark.operators.bm25 import load_meta
+        from data_prep_opensearch_spark.operators.manifest import (
+            load_manifest,
+        )
+
+        def du(rel: str) -> tuple[int, int]:
+            root = os.path.join(args.index, rel)
+            total = files = 0
+            for dirpath, _, names in os.walk(root):
+                for n in names:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, n))
+                        files += 1
+                    except OSError:
+                        pass
+            return total, files
+
+        meta = load_meta(args.index)
+        man = load_manifest(args.index) or {}
+        seg_bytes = seg_files = 0
+        for seg in man.get("segments", []):
+            b, f = du(seg["path"])
+            seg_bytes += b
+            seg_files += f
+        dl_bytes = sum(du(d)[0] for d in man.get("doclens", []))
+        ds_bytes = sum(du(d)[0] for d in man.get("doc_stats", []))
+        tomb_dir = os.path.join(args.index, "tombstones")
+        n_tomb_files = (
+            sum(len(ns) for _, _, ns in os.walk(tomb_dir))
+            if os.path.isdir(tomb_dir) else 0
+        )
+        print(json.dumps({
+            "n_docs": meta.get("n_docs"),
+            "avgdl": meta.get("avgdl"),
+            "tokenizer": meta.get("tokenizer"),
+            "n_shards": meta.get("n_shards"),
+            "positions": meta.get("positions"),
+            "generations": meta.get("generations"),
+            "manifest_version": man.get("version"),
+            "segments": [s_["path"] for s_ in man.get("segments", [])],
+            "segment_bytes": seg_bytes,
+            "segment_files": seg_files,
+            "doclen_bytes": dl_bytes,
+            "doc_stats_bytes": ds_bytes,
+            "tombstone_files": n_tomb_files,
+            "retired_pending_gc": len(man.get("retired", [])),
+        }))
+        return 0
     if args.cmd == "gc":
         # drain the manifest's retired-dir ledger past the grace period;
         # an idle index otherwise keeps retired dirs until its next write

@@ -191,3 +191,32 @@ def significant_terms(
                 F.col("bg_df").cast("long").alias("bg_df"),
                 F.col("score").cast("double").alias("score"))
     )
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    by: list[str] | None = None,
+    metrics: dict[str, Column] | None = None,
+) -> DataFrame:
+    """OpenSearch ``date_histogram`` aggregation (calendar_interval):
+    one bucket per ``date_trunc(interval, ts)`` — optionally crossed
+    with ``by`` dimensions (the terms sub-aggregation shape) — carrying
+    ``n_docs`` plus any metric sub-aggregations (ES avg/sum/min/max
+    sub-aggs: pass e.g. ``{"avg_value": F.avg("value")}``). Pure
+    hash aggregate: counts and metrics combine map-side; bucket
+    cardinality is time-range x dims, never row count."""
+    from pyspark.sql import functions as F
+
+    if interval not in ("hour", "day", "week", "month", "quarter", "year"):
+        raise ValueError(f"unsupported calendar interval {interval!r}")
+    keys = [F.date_trunc(interval, F.col(ts_col)).alias("bucket")] + [
+        F.col(c) for c in (by or [])
+    ]
+    aggs = [F.count("*").alias("n_docs")] + [
+        expr.alias(name) for name, expr in sorted((metrics or {}).items())
+    ]
+    return df.groupBy(*keys).agg(*aggs).orderBy(
+        "bucket", *[c for c in (by or [])]
+    )

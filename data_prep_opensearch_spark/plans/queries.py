@@ -3912,3 +3912,43 @@ def ft_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("new_score", 4).alias("new_score"),
         )
     )
+
+
+@register(
+    "rel_date_histogram",
+    """
+    SELECT date_trunc('week', ts) AS bucket,
+           event_type,
+           count(*) AS n_docs,
+           round(sum(value), 4) AS sum_value,
+           floor(round(sum(value), 4) * 10000 / count(*)) / 10000 AS avg_value
+    FROM events
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+    covers=["O7s date_histogram aggregation: calendar-interval buckets "
+            "x terms sub-agg with metric sub-aggregations"],
+)
+def rel_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch date_histogram (calendar week) crossed with an
+    event_type terms sub-agg, carrying sum/avg metric sub-aggs — one
+    map-side-combinable hash aggregate, bucket cardinality = weeks x
+    event types."""
+    from data_prep_opensearch_spark.operators.facets import date_histogram
+
+    ev = load(spark, sf_dir, "events")
+    out = date_histogram(
+        ev, "ts", "week", by=["event_type"],
+        metrics={"sum_value": F.sum("value"), "avg_value": F.avg("value")},
+    )
+    # avg derives from the ROUNDED sum via floor-truncation: round()
+    # conventions differ at exact .5 boundaries (Spark half-ups the
+    # decimal string, DuckDB rounds the binary double — 2409.18/48
+    # = ...50.19125 rounded apart), while floor() of the identical
+    # IEEE quotient is convention-free on both engines
+    rs = F.round("sum_value", 4)
+    return out.select(
+        "bucket", "event_type", "n_docs",
+        rs.alias("sum_value"),
+        (F.floor(rs * 10000 / F.col("n_docs")) / 10000).alias("avg_value"),
+    )

@@ -103,3 +103,33 @@ def test_stats_counts(spark):
     assert abs(a["p50"] - 25.0) <= 1e-12   # interpolated median of 10,20,30,40
     b = rows["b"]
     assert b["n_docs"] == 3 and abs(b["p50"] - 2.0) <= 1e-12  # nulls skipped
+
+
+def test_date_histogram(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_prep_opensearch_spark.operators.facets import date_histogram
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 5), "a", 10.0),
+        (dt.datetime(2024, 1, 1, 9), "a", 20.0),
+        (dt.datetime(2024, 1, 2, 1), "b", 5.0),
+        (dt.datetime(2024, 2, 10, 0), "a", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    got = date_histogram(df, "ts", "day", by=["k"],
+                         metrics={"sum_v": F.sum("v")}).collect()
+    assert [(r["bucket"].date().isoformat(), r["k"], r["n_docs"], r["sum_v"])
+            for r in got] == [
+        ("2024-01-01", "a", 2, 30.0),
+        ("2024-01-02", "b", 1, 5.0),
+        ("2024-02-10", "a", 1, 7.0),
+    ]
+    months = date_histogram(df, "ts", "month").collect()
+    assert [(r["bucket"].date().isoformat(), r["n_docs"]) for r in months] \
+        == [("2024-01-01", 3), ("2024-02-01", 1)]
+    with pytest.raises(ValueError, match="interval"):
+        date_histogram(df, "ts", "fortnight")
