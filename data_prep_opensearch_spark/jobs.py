@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         "query",
         description="Query syntax: bare terms (OR), stem* prefix, "
                     "term~N fuzzy (N in 0..2; bare ~ = AUTO by length), "
+                    "wild*card / wi?d patterns, /regexp/ (anchored), "
                     '-term / -stem* / -term~N must_not, "exact phrase", '
                     '"a b"~N ordered-proximity slop, -"..." negated '
                     "phrase; combine with --msm for m-of-n / AND.",

@@ -158,6 +158,26 @@ class Fuzzy(str):
 _FUZZY_RE = re.compile(r"^(.+)~(\d*)$")
 
 
+class Wildcard(str):
+    """A wildcard/regexp stem: expands against the dictionary like a
+    prefix, but through an arbitrary pattern. ``kind='wild'`` uses
+    Lucene WildcardQuery syntax (``*`` = any run, ``?`` = one char);
+    ``kind='re'`` is a Lucene RegexpQuery body (implicitly anchored).
+    Subclasses ``str`` so it travels the same stem lists as prefix /
+    fuzzy stems; ``_plan_clauses`` dispatches on the type."""
+
+    __slots__ = ("kind", "boost")
+
+    def __new__(cls, pattern: str, kind: str = "wild", boost: float = 1.0):
+        obj = super().__new__(cls, pattern)
+        obj.kind = kind
+        obj.boost = float(boost)
+        return obj
+
+    def __reduce__(self):
+        return (self.__class__, (str(self), self.kind, self.boost))
+
+
 def parse_query(
     query: str, tok, phrase_tok=None
 ) -> tuple[list[str], list[str], list[str], list[str],
@@ -182,6 +202,12 @@ def parse_query(
     or ``~N`` (N in 0..2, bare ``~`` = ES AUTO by length) is a FUZZY
     clause: the last stem token becomes a :class:`Fuzzy` entry in the
     prefix-stem list (``~0`` collapses to a literal). A chunk starting
+    A chunk with ``*``/``?`` anywhere but the pure-trailing position is
+    a WILDCARD clause (Lucene WildcardQuery: ``*`` any run, ``?`` one
+    char), and ``/body/`` is a REGEXP clause (Lucene RegexpQuery,
+    implicitly anchored) — both expand against the dictionary under the
+    same df-ranked cap as prefixes and score as one scoring-boolean
+    clause. A chunk starting
     with ``-`` is a MUST_NOT clause (Lucene bool must_not): every token
     it produces joins the exclusion set (its trailing-``*`` / ``~N``
     form negates the stem's expansions). A trailing ``^B`` (B a
@@ -230,6 +256,22 @@ def parse_query(
             # boost applies to every clause the chunk produces; on a
             # must_not chunk it is meaningless and just stripped
             body, boost = bm.group(1), float(bm.group(2))
+        bl = body.lower()
+        pure_prefix = (bl.endswith("*") and len(bl) > 1
+                       and "*" not in bl[:-1] and "?" not in bl)
+        if len(bl) > 2 and bl.startswith("/") and bl.endswith("/"):
+            # Lucene RegexpQuery: /pattern/ (implicitly anchored)
+            (neg_prefixes if neg else prefixes).append(
+                Wildcard(bl[1:-1], "re", boost))
+            continue
+        if (("*" in bl or "?" in bl) and not pure_prefix
+                and set(bl) != {"*"}  # bare-star chunks drop (no match-all)
+                and re.fullmatch(r"[a-z0-9_*?]+", bl)):
+            # Lucene WildcardQuery: * = any run, ? = one char (a chunk
+            # with ONLY one trailing * stays the cheaper prefix clause)
+            (neg_prefixes if neg else prefixes).append(
+                Wildcard(bl, "wild", boost))
+            continue
         if body.endswith("*") and len(body) > 1:
             stem_tokens = tok(body[:-1])
             if not stem_tokens:
@@ -634,6 +676,52 @@ class BM25Engine:
                 self._df_cache.setdefault(t, d)
         return self._prefix_cache[key]
 
+    def expand_wildcard(
+        self, pattern: str, kind: str = "wild",
+        max_expansions: int | None = None,
+    ) -> list[tuple[str, int]]:
+        """Expand a wildcard (``*``/``?``) or regexp stem against the
+        dictionary: one filtered aggregate over the term-sorted segment
+        files. A wildcard's LITERAL PREFIX (chars before the first
+        ``*``/``?``) pins a ``startswith`` predicate so row-group
+        min/max pruning still applies — the exact cost model of Lucene's
+        WildcardQuery, where a leading wildcard forces a full term scan
+        (we accept it too, cap-bounded). Regexps scan the whole
+        dictionary column like Lucene RegexpQuery. Cap keeps the clause
+        bounded: df desc, term asc (the prefix rule)."""
+        cap = self.MAX_EXPANSIONS if max_expansions is None else max_expansions
+        key = ("w", kind, pattern, cap)
+        if key not in self._prefix_cache:
+            if kind == "wild":
+                rx = "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in pattern
+                )
+                lit = re.match(r"[a-z0-9_]*", pattern).group(0)
+            else:
+                rx = pattern
+                lit = ""
+            try:
+                re.compile(rx)
+            except re.error as exc:
+                raise ValueError(f"bad pattern {pattern!r}: {exc}") from None
+            sc = self.seg.select("term", "df")
+            if lit:
+                sc = sc.filter(F.col("term").startswith(lit))
+            rows = (
+                sc.filter(F.col("term").rlike(f"^(?:{rx})$"))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(cap)
+                .collect()
+            )
+            exp = [(r["term"], int(r["df"])) for r in rows]
+            self._prefix_cache[key] = exp
+            for t, d in exp:
+                self._df_cache.setdefault(t, d)
+        return self._prefix_cache[key]
+
     @staticmethod
     def _fuzzy_boost(term: str, stem: str, dist: int) -> float:
         """Lucene FuzzyTermsEnum similarity boost for an expansion."""
@@ -724,7 +812,7 @@ class BM25Engine:
             for s in stems_in:
                 seen.setdefault(
                     (str(s), getattr(s, "max_edits", -1),
-                     getattr(s, "boost", 1.0)), s,
+                     getattr(s, "kind", ""), getattr(s, "boost", 1.0)), s,
                 )
             return [seen[k] for k in sorted(seen)]
 
@@ -736,6 +824,12 @@ class BM25Engine:
                 clauses.append([t for t, _, _ in exp])
                 for t, _, dist in exp:
                     bump(t, b * self._fuzzy_boost(t, stem, dist))
+            elif isinstance(stem, Wildcard):
+                exp_w = [t for t, _ in self.expand_wildcard(
+                    str(stem), stem.kind, max_expansions)]
+                clauses.append(exp_w)
+                for t in exp_w:
+                    bump(t, b)
             else:
                 exp_p = [t for t, _ in
                          self.expand_prefix(stem, max_expansions)]
@@ -749,6 +843,9 @@ class BM25Engine:
             if isinstance(stem, Fuzzy):
                 negs.update(t for t, _, _ in self.expand_fuzzy(
                     stem, stem.max_edits, max_expansions))
+            elif isinstance(stem, Wildcard):
+                negs.update(t for t, _ in self.expand_wildcard(
+                    str(stem), stem.kind, max_expansions))
             else:
                 negs.update(t for t, _ in
                             self.expand_prefix(stem, max_expansions))

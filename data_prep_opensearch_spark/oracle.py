@@ -9,6 +9,7 @@ engine must be rank-identical with scores equal within 1e-9.
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter
 
 from data_prep_opensearch_spark.functions.tokenize import (
@@ -72,6 +73,7 @@ class OracleIndex:
         but counting once toward min_should_match."""
         from data_prep_opensearch_spark.operators.bm25 import (
             Fuzzy,
+            Wildcard,
             parse_query,
             resolve_msm,
         )
@@ -108,12 +110,29 @@ class OracleIndex:
             cands.sort()
             return [(t, b) for _, _, t, b in cands[:max_expansions]]
 
+        def _expand_wild(stem) -> list[str]:
+            """Engine's expand_wildcard rule: anchored pattern match
+            over the dictionary, df desc / term asc, capped."""
+            if stem.kind == "wild":
+                rx = "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in str(stem)
+                )
+            else:
+                rx = str(stem)
+            pat = re.compile(f"^(?:{rx})$")
+            exp = sorted(
+                ((t, self.df[t]) for t in self.postings if pat.match(t)),
+                key=lambda x: (-x[1], x[0]),
+            )[:max_expansions]
+            return [t for t, _ in exp]
+
         def _stems(stems_in):
             seen = {}
             for s in stems_in:
                 seen.setdefault(
                     (str(s), getattr(s, "max_edits", -1),
-                     getattr(s, "boost", 1.0)), s,
+                     getattr(s, "kind", ""), getattr(s, "boost", 1.0)), s,
                 )
             return [seen[k] for k in sorted(seen)]
 
@@ -136,6 +155,11 @@ class OracleIndex:
                 clauses.append([t for t, _ in exp_f])
                 for t, fb in exp_f:
                     bump(t, b * fb)
+            elif isinstance(stem, Wildcard):
+                exp_w = _expand_wild(stem)
+                clauses.append(exp_w)
+                for t in exp_w:
+                    bump(t, b)
             else:
                 exp_p = _expand(stem)
                 clauses.append(exp_p)
@@ -146,6 +170,8 @@ class OracleIndex:
         for stem in _stems(neg_pre):
             if isinstance(stem, Fuzzy):
                 negs.update(t for t, _ in _expand_fuzzy(stem))
+            elif isinstance(stem, Wildcard):
+                negs.update(_expand_wild(stem))
             else:
                 negs.update(_expand(stem))
         excluded: set[int] = set()

@@ -3952,3 +3952,88 @@ def rel_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rs.alias("sum_value"),
         (F.floor(rs * 10000 / F.col("n_docs")) / 10000).alias("avg_value"),
     )
+
+
+WILD_LIT = "row"
+WILD_RE = "s(can|ort)"
+WILD_PAT_SQLRX = "b.g"  # engine form: b?g
+
+
+def _bm25_wildcard_sql(lit: str, rx: str, wild_rx: str, cap: int, k: int,
+                       msm: int) -> str:
+    """BM25 with a REGEXP clause and a WILDCARD clause next to a
+    literal: each pattern expands to its top-``cap`` dictionary matches
+    by df (term-asc ties) — the engine's ``expand_wildcard`` rule —
+    scores as a scoring-boolean, and counts ONCE toward msm."""
+    from data_prep_opensearch_spark.operators.bm25 import B, K1
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z0-9_]+)', 1)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(1.0 * dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    exp_re AS (
+      SELECT term FROM dft WHERE regexp_full_match(term, '{rx}')
+      ORDER BY df DESC, term ASC LIMIT {cap}
+    ),
+    exp_w AS (
+      SELECT term FROM dft WHERE regexp_full_match(term, '{wild_rx}')
+      ORDER BY df DESC, term ASC LIMIT {cap}
+    ),
+    q AS (
+      SELECT '{lit}' AS term, 'lit' AS clause
+      UNION ALL SELECT term, 're' AS clause FROM exp_re
+      UNION ALL SELECT term, 'wild' AS clause FROM exp_w
+    ),
+    qd AS (SELECT DISTINCT term FROM q),
+    nclause AS (
+      SELECT tf.doc_id, count(DISTINCT q.clause) AS nc
+      FROM tf JOIN q ON tf.term = q.term GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             round(sum(
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / stats.avgdl)))
+             ), 4) AS score
+      FROM tf
+      JOIN qd ON tf.term = qd.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT s.doc_id, s.score
+    FROM scored s JOIN nclause ON s.doc_id = nclause.doc_id
+    WHERE nclause.nc >= {msm}
+    ORDER BY s.score DESC, s.doc_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ft_bm25_wildcard_topk",
+    _bm25_wildcard_sql(WILD_LIT, WILD_RE, WILD_PAT_SQLRX, 50, BM25_K, 2),
+    covers=["O7t wildcard (?/* infix) + regexp (/.../ anchored) query "
+            "clauses: dictionary expansion under the df-ranked cap, "
+            "one clause each under min_should_match"],
+)
+def ft_bm25_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`row /s(can|ort)/ b?g` with msm=2: a Lucene RegexpQuery clause
+    (expands to scan+sort), a WildcardQuery clause (`b?g` -> big), and
+    a literal — each pattern is ONE clause however many expansions
+    match. The wildcard's literal prefix pins a startswith predicate
+    (row-group pruning); the regexp pays the full dictionary-column
+    scan Lucene accepts for RegexpQuery."""
+    from data_prep_opensearch_spark.operators.bm25 import BM25Engine
+
+    index_dir = _ensure_docs_index(spark, sf_dir)
+    eng = BM25Engine(spark, index_dir, cache=True)
+    out = eng.topk(f"{WILD_LIT} /{WILD_RE}/ b?g", BM25_K,
+                   min_should_match=2)
+    return _engine_topk_to_external(out, spark, index_dir)
