@@ -1,0 +1,111 @@
+"""Extra benchmarks for the optimization rounds (bench.py is FROZEN for
+the driver's measurement; everything exploratory lives here).
+
+Modes:
+  --profile [names...]   per-query wall, Spark job count, and noop-sink
+                         wall (guide §1.4) for the named catalog entries
+                         (default: all), printed as one JSON line each.
+  --explain <dir> [names...]
+                         dump .explain("formatted") for each named query
+                         to <dir>/<name>.txt (judge evidence).
+  --time <name> [reps]   run one query reps times, print each wall.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark():
+    from data_prep_opensearch_spark.session import get_spark
+
+    return get_spark(app_name="bench_extra", cores=CPUS)
+
+
+def _job_count(spark) -> int:
+    """Monotone job counter (DAGScheduler.nextJobId) — job-count deltas
+    per query attribute wall time to scheduling overhead vs compute."""
+    try:
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get())
+    except Exception:
+        return -1
+
+
+def profile(names: list[str]) -> None:
+    from data_prep_opensearch_spark.plans.queries import REGISTRY
+
+    spark = _spark()
+    names = names or list(REGISTRY)
+    for name in names:
+        fn = REGISTRY[name].fn
+        spark.sparkContext.setJobDescription(f"profile:{name}")
+        walls = []
+        jobs0 = _job_count(spark)
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            walls.append(round(time.monotonic() - t0, 3))
+        jobs = _job_count(spark) - jobs0
+        # noop sink wall (computes every column, guide §1.4)
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        noop = round(time.monotonic() - t0, 3)
+        print(json.dumps({
+            "query": name, "walls": walls, "best": min(walls),
+            "jobs_2reps": jobs, "noop": noop,
+        }), flush=True)
+    spark.stop()
+
+
+def explain_to(out_dir: str, names: list[str]) -> None:
+    from data_prep_opensearch_spark.plans.queries import REGISTRY
+
+    os.makedirs(out_dir, exist_ok=True)
+    spark = _spark()
+    for name in names or list(REGISTRY):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(txt)
+        print(f"wrote {out_dir}/{name}.txt", flush=True)
+    spark.stop()
+
+
+def time_one(name: str, reps: int) -> None:
+    from data_prep_opensearch_spark.plans.queries import REGISTRY
+
+    spark = _spark()
+    fn = REGISTRY[name].fn
+    for i in range(reps):
+        j0 = _job_count(spark)
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        print(f"rep{i}: {time.monotonic() - t0:.3f}s "
+              f"jobs={_job_count(spark) - j0}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "--profile"
+    if mode == "--profile":
+        profile(sys.argv[2:])
+    elif mode == "--explain":
+        explain_to(sys.argv[2], sys.argv[3:])
+    elif mode == "--time":
+        time_one(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    else:
+        raise SystemExit(f"unknown mode {mode}")

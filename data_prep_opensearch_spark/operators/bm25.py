@@ -1923,19 +1923,23 @@ def _score_shard_phrase(
     acc = np.zeros(dl_arr.shape[0], dtype=np.float64)
     cnt = np.zeros(dl_arr.shape[0], dtype=np.int32) if msm > 1 else None
     term_clauses = clauses or []
-    for cl in term_clauses:
-        for term in cl:
-            if term not in postings:
-                continue
-            docs, tfs, _ = postings[term]
-            if docs.size == 0:
-                continue
-            off = docs - base
-            dl = dl_arr[off]
-            acc[off] += idf_map[term] * bm25_tf_term(
-                tfs.astype(np.float64), dl.astype(np.float64), avgdl
-            )
-        if cnt is not None:
+    # a term shared by several clauses (literal + expansion/synonym
+    # overlap) scores ONCE with its folded max weight — the _plan_clauses
+    # contract every other tier honors; the per-clause loop below feeds
+    # only the msm match count
+    for term in {t for cl in term_clauses for t in cl}:
+        if term not in postings:
+            continue
+        docs, tfs, _ = postings[term]
+        if docs.size == 0:
+            continue
+        off = docs - base
+        dl = dl_arr[off]
+        acc[off] += idf_map[term] * bm25_tf_term(
+            tfs.astype(np.float64), dl.astype(np.float64), avgdl
+        )
+    if cnt is not None:
+        for cl in term_clauses:
             offs = [
                 postings[t][0] - base for t in cl
                 if t in postings and postings[t][0].size
@@ -2421,18 +2425,24 @@ def _score_shard_msm(
 
     parts_d, parts_c = [], []
     small_docs: list[np.ndarray] = []  # per small CLAUSE: unique doc union
+    # a term shared by several clauses scores ONCE with its folded max
+    # weight (_plan_clauses contract); clause membership below feeds only
+    # the msm count
+    scored: set[str] = set()
     for g in small:
         g_docs: list[np.ndarray] = []
         for t in g:
             docs, tfs = lazies[t].full()
             if docs.size:
-                parts_d.append(docs)
-                parts_c.append(
-                    idf_map[t] * bm25_tf_term(
-                        tfs.astype(np.float64),
-                        dl_arr[docs - base].astype(np.float64), avgdl,
+                if t not in scored:
+                    scored.add(t)
+                    parts_d.append(docs)
+                    parts_c.append(
+                        idf_map[t] * bm25_tf_term(
+                            tfs.astype(np.float64),
+                            dl_arr[docs - base].astype(np.float64), avgdl,
+                        )
                     )
-                )
                 g_docs.append(docs)
         small_docs.append(
             g_docs[0] if len(g_docs) == 1
@@ -2452,15 +2462,31 @@ def _score_shard_msm(
         if dcl.size:
             cnt[np.searchsorted(cands, dcl)] += 1
     dl_c = dl_arr[cands - base].astype(np.float64)
+    hit_cache: dict[str, np.ndarray] = {}
     for g in rest:
         g_hit = np.zeros(cands.size, dtype=bool)
         for t in g:
-            vals, hit = lazies[t].tf_at(cands)
-            if hit.any():
-                sc[hit] += idf_map[t] * bm25_tf_term(
-                    vals[hit], dl_c[hit], avgdl
-                )
-                g_hit |= hit
+            hit = hit_cache.get(t)
+            if hit is None:
+                if t in scored:
+                    # already fully decoded+scored via a small clause:
+                    # membership probe only, no second contribution
+                    docs_t = lazies[t].full()[0]
+                    if docs_t.size:
+                        pos = np.searchsorted(docs_t, cands)
+                        safe = np.minimum(pos, docs_t.size - 1)
+                        hit = (pos < docs_t.size) & (docs_t[safe] == cands)
+                    else:
+                        hit = np.zeros(cands.size, dtype=bool)
+                else:
+                    vals, hit = lazies[t].tf_at(cands)
+                    if hit.any():
+                        sc[hit] += idf_map[t] * bm25_tf_term(
+                            vals[hit], dl_c[hit], avgdl
+                        )
+                    scored.add(t)
+                hit_cache[t] = hit
+            g_hit |= hit
         if g_hit.any():
             cnt[g_hit] += 1
     keep = cnt >= msm
