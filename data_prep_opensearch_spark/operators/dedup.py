@@ -60,12 +60,33 @@ def word_shingles(toks: Column, n: int = SHINGLE_N) -> Column:
     ).otherwise(F.array(F.concat_ws("_", toks)))
 
 
+def _pair_combos(ks: Column) -> Column:
+    """All ordered combinations (a < b) of a SORTED array column, as an
+    array of (id_a, id_b) structs. Callers must bound the array length
+    (hot-bucket caps) — the fan-out is |ks|²/2 by construction."""
+    return F.flatten(
+        F.transform(
+            ks,
+            lambda a, i: F.transform(
+                F.slice(ks, i + F.lit(2), F.greatest(F.size(ks) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+
+
 def shingle_rows(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
-    """(key, shingle) distinct rows — the inverted shingle index."""
+    """(key, shingle) distinct rows — the inverted shingle index.
+
+    Dedup happens INSIDE each doc's shingle array (array_distinct) before
+    the explode, so the rows are unique by construction and the explicit
+    ``.distinct()`` exchange the round-2 version paid — a full shuffle of
+    the exploded shingle stream — is gone (guide §2.4: a distinct on
+    already-unique data is an accidental shuffle)."""
     toks = df.select(F.col(key), tokens_col(F.col(text)).alias("_toks"))
-    return (
-        toks.select(F.col(key), F.explode(word_shingles(F.col("_toks"))).alias("shingle"))
-        .distinct()
+    return toks.select(
+        F.col(key),
+        F.explode(F.array_distinct(word_shingles(F.col("_toks")))).alias("shingle"),
     )
 
 
@@ -80,8 +101,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs sharing >=1 shingle,
     with HOT-SHINGLE SUPPRESSION.
 
-    |A ∩ B| from the shingle self-join; |A ∪ B| = |A| + |B| - |A ∩ B|.
-    Join is shingle-partitioned (no cross product); a hot shingle's
+    |A ∩ B| from per-shingle member-list combinations (capped mode) or
+    the shingle self-join (uncapped); |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Pair generation is shingle-partitioned (no cross product); a hot shingle's
     fan-out is the classic skew point: one stopword shingle present in d
     docs produces O(d²) candidate rows. Shingles whose document frequency
     exceeds ``max_shingle_df`` are therefore dropped BEFORE the self-join
@@ -94,7 +116,13 @@ def ngram_jaccard_pairs(
     of suppressed shingles, or ``max_shingle_df=None`` for the uncapped
     exact computation.
     """
-    sh = shingle_rows(df, text, key)
+    # materialize the shingle index FIRST: the suppression df-agg, the
+    # (optional) drop-count job, the size agg and the pair pass all read
+    # the same rows — checkpointing after the anti-join (round-5 shape)
+    # made the drop-count and the suppression scan each re-run the whole
+    # tokenize->shingle DAG. At persistent scale this table is written to
+    # storage instead.
+    sh = shingle_rows(df, text, key).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         sdf = sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
         hot = sdf.filter(F.col("_sdf") > max_shingle_df).select("shingle")
@@ -106,16 +134,36 @@ def ngram_jaccard_pairs(
                     f"df > {max_shingle_df} before the pair join"
                 )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
-        .groupBy(F.col(f"a.{key}").alias("id_a"), F.col(f"b.{key}").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    # candidate pairs WITHOUT a self-join: group each surviving shingle's
+    # member list (bounded by max_shingle_df — the cap ran first, so no
+    # aggregation buffer can exceed it at any corpus size) and explode
+    # the sorted-order combinations. One shuffle of the shingle rows
+    # instead of the self-join's two, and the per-shingle pair fan-out
+    # happens inside the aggregation task, map-side-combined into the
+    # pair count.
+    if max_shingle_df is not None:
+        inter = (
+            sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list(key)).alias("_ks"))
+            .select(F.explode(_pair_combos(F.col("_ks"))).alias("_p"))
+            .groupBy(
+                F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # uncapped exact mode: member lists are unbounded, so pair
+        # generation falls back to the shingle-partitioned self-join
+        # (no aggregation buffer ever holds a whole hot shingle)
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+            .groupBy(F.col(f"a.{key}").alias("id_a"),
+                     F.col(f"b.{key}").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(key).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(key).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -192,17 +240,35 @@ def minhash_lsh_pairs(
     analogue: the deferral-style skew isolation of api/mysql_store.py:841-865.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text, key, n_hashes).withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
-    )
-    band_hashes = (
-        sig.groupBy(key, "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed"), F.col("minhash")))))).alias("band_hash"))
-    )
-    # materialize before the self-join: without this, BOTH join sides
-    # recompute the whole shingle->minhash->band DAG (measured 25x slower).
-    # At persistent scale the signature table is written to storage instead.
+    # band hashes straight off the WIDE per-doc signature row: each
+    # band's members are fixed seed columns, so md5(concat of the sorted
+    # "seed:minhash" strings) is a pure per-row expression — the round-5
+    # explode -> groupBy(key, band) -> collect_list path shuffled
+    # (docs x seeds) rows to recompute what the wide row already holds.
+    # Values are IDENTICAL (same strings, same array_sort, same md5).
+    sh = shingle_rows(df, text, key)
+    wide = sh.groupBy(key).agg(*[
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"_m{s}")
+        for s in range(n_hashes)
+    ])
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(F.concat_ws(",", F.array_sort(F.array(*[
+                F.concat_ws(":", F.lit(s), F.col(f"_m{s}"))
+                for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ])))).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    band_hashes = wide.select(
+        F.col(key), F.explode(band_structs).alias("_bh")
+    ).select(key, F.col("_bh.band").alias("band"),
+             F.col("_bh.band_hash").alias("band_hash"))
+    # materialize before the bucket passes: without this, the size gate
+    # and the pair generation would each recompute the whole
+    # shingle->minhash DAG (measured 25x slower). At persistent scale
+    # the signature table is written to storage instead.
     band_hashes = band_hashes.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         bsz = band_hashes.groupBy("band", "band_hash").agg(
@@ -221,6 +287,19 @@ def minhash_lsh_pairs(
         band_hashes = band_hashes.join(
             F.broadcast(hot), ["band", "band_hash"], "left_anti"
         )
+        # surviving buckets are <= max_bucket_size members, so pair
+        # generation is a bounded bucket collect + combination explode —
+        # one shuffle of the band rows instead of the self-join's two
+        return (
+            band_hashes.groupBy("band", "band_hash")
+            .agg(F.array_sort(F.collect_list(key)).alias("_ks"))
+            .select(F.explode(_pair_combos(F.col("_ks"))).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"),
+                    F.col("_p.id_b").alias("id_b"))
+            .distinct()
+        )
+    # uncapped mode: bucket membership is unbounded — keep the
+    # bucket-partitioned self-join (no whole-bucket aggregation buffer)
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     return (
@@ -247,11 +326,20 @@ def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
         .withColumn("h", F.md5(F.col("tok")))
     )
     # md5 hex has 32 nibbles = 128 bits; use the first 64: bit i of nibble
-    # n = (nibble >> (i%4)) & 1 where n = i//4
+    # n = (nibble >> (i%4)) & 1 where n = i//4. The 16 nibble decodes are
+    # projected ONCE per row — the round-2 form re-ran conv(substring)
+    # inside each of the 64 aggregates (4x redundant string work on the
+    # agg's hot path).
+    toks = toks.select(
+        F.col(key), F.col("tf"),
+        *[
+            F.conv(F.substring("h", n + 1, 1), 16, 10).cast("int").alias(f"_n{n}")
+            for n in range(16)
+        ],
+    )
     aggs = []
     for i in range(64):
-        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nib, i % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"_n{i // 4}"), i % 4).bitwiseAND(F.lit(1))
         signed = (bit * 2 - 1) * F.col("tf")
         aggs.append(F.sum(signed).alias(f"b{i}"))
     sums = toks.groupBy(key).agg(*aggs)

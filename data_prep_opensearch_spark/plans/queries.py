@@ -220,44 +220,92 @@ def _bm25_highlight_sql(terms: list[str], k: int, window: int) -> str:
     """
 
 
-def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int,
-                    msm: int = 1) -> DataFrame:
-    """Declarative BM25: the same math as the segment engine, expressed as
-    a pure Catalyst plan (explode → agg → broadcast dictionary join).
-    Useful both as a correctness oracle twin and as the 'no index yet'
-    ad-hoc scoring path."""
+def _bm25_features(docs: DataFrame, terms: list[str],
+                   extra: dict[str, "F.Column"] | None = None) -> DataFrame:
+    """Per-doc BM25 feature table: (doc_id, dl, tf_0..tf_{n-1}[, extras])
+    computed as ARRAY EXPRESSIONS in one corpus scan — per-term tf is an
+    array filter over the token array, dl its size — then eagerly
+    materialized (localCheckpoint). This is the guide-§8 'decide with
+    small rows' shape: every downstream aggregate/join touches a few
+    longs per doc, never the token stream, and the corpus is tokenized
+    exactly ONCE (the round-5 explode→groupBy twin re-tokenized it once
+    per CTE — 8-20 scans per query in the physical plan). ``extra`` maps
+    column name -> expression over the ``_toks`` array column (phrase
+    frequencies etc.)."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    cols = [
+        F.col("doc_id"),
+        F.size("_toks").alias("dl"),
+        *[
+            F.size(F.filter("_toks", _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ]
+    for name, expr in (extra or {}).items():
+        cols.append(expr.alias(name))
+    return toks.select(*cols).localCheckpoint(eager=True)
+
+
+def _bm25_stats_row(feats: DataFrame, n_terms: int,
+                    extra_aggs: list["F.Column"] | None = None) -> DataFrame:
+    """One-row corpus statistics over the feature table: n / avgdl over
+    docs with >=1 token (the oracle's dl-CTE semantics) + per-term df."""
+    return feats.agg(
+        F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
+        F.avg(F.when(F.col("dl") > 0, 1.0 * F.col("dl"))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(n_terms)
+        ],
+        *(extra_aggs or []),
+    )
+
+
+def _idf_col(df_col: "F.Column") -> "F.Column":
+    return F.log((F.col("n") - df_col + 0.5) / (df_col + 0.5) + 1.0)
+
+
+def _tf_norm(tf_col: "F.Column") -> "F.Column":
     from data_prep_opensearch_spark.operators.bm25 import B, K1
 
-    terms = sorted(set(terms))
-    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # dl = Σ tf per doc — derived from the (vocab-sized) tf table, so the
-    # corpus is tokenized+exploded ONCE (Catalyst does not CSE the two
-    # groupBys over `tok`; round-2 plan-audit nit)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg(1.0 * F.col("dl")).alias("avgdl"))
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qdf = docs.sparkSession.createDataFrame([(t,) for t in terms], ["term"])
-    scored = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-            * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 4).alias("score"),
-            F.count("*").alias("_nmatch"),
-        )
+    return (tf_col * (K1 + 1.0)) / (
+        tf_col + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl")))
     )
-    if msm > 1:
-        scored = scored.filter(F.col("_nmatch") >= msm)
-    scored = scored.drop("_nmatch")
+
+
+def _bm25_dataframe(docs: DataFrame, terms: list[str], k: int,
+                    msm: int = 1) -> DataFrame:
+    """Declarative BM25: the same math as the segment engine, expressed
+    as a pure Catalyst plan over the per-doc feature table (one corpus
+    scan, one broadcast stats row, zero data shuffles). Useful both as a
+    correctness oracle twin and as the 'no index yet' ad-hoc scoring
+    path."""
+    terms = sorted(set(terms))
+    feats = _bm25_features(docs, terms)
+    stats = _bm25_stats_row(feats, len(terms))
+    contrib = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            _idf_col(F.col(f"df_{i}")) * _tf_norm(F.col(f"tf_{i}")),
+        ).otherwise(0.0)
+        for i in range(len(terms))
+    ]
+    nmatch = sum(
+        (F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    scored = (
+        feats.crossJoin(F.broadcast(stats))
+        .withColumn("_nmatch", nmatch)
+        .filter(F.col("_nmatch") >= max(msm, 1))
+        .select("doc_id", F.round(total, 4).alias("score"))
+    )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -641,78 +689,64 @@ def _bm25_phrase_sql(phrase: list[str], literals: list[str], k: int,
             "twin: posexplode + consecutive-position equi-join chain"],
 )
 def ft_bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`\"merge sort\" batch` as a PURE CATALYST plan: posexplode keeps
-    token positions, the phrase is an equi-join chain on (doc_id,
-    pos - offset) — occurrence i of term j survives iff every other
-    phrase term sits at its consecutive position — and phrase_freq
-    scores through the same BM25 tf-normalization as a term, weighted
-    by the phrase terms' summed idf (Lucene PhraseQuery weighting).
-    No UDF anywhere; the join chain broadcasts nothing data-dependent
-    and shuffles only (doc_id, pos) pairs of the PHRASE terms."""
-    from data_prep_opensearch_spark.operators.bm25 import B, K1
-
+    """`\"merge sort\" batch` as a PURE CATALYST plan over the per-doc
+    feature table: phrase_freq is an ARRAY expression (count of start
+    positions whose consecutive tokens equal the phrase — the same
+    list-lambda shape the DuckDB oracle uses), computed in the SAME
+    single corpus scan as the literal tf and dl. The phrase scores
+    through the BM25 tf-normalization weighted by its terms' summed idf
+    (Lucene PhraseQuery weighting). No UDF, no explode, no data shuffle
+    — the round-5 join-chain twin shuffled the (doc_id, pos) stream
+    through 58 Exchanges / 20 corpus scans."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     phrase, literals = PHRASE_TERMS, [PHRASE_LITERAL]
-    tok = docs.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"),
-                   F.avg(1.0 * F.col("dl")).alias("avgdl"))
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    all_terms = sorted(set(literals) | set(phrase))
 
-    # phrase start positions: chain of co-keyed joins on (doc_id, p)
-    ph = tok.filter(F.col("term") == phrase[0]).select(
-        "doc_id", F.col("pos").alias("p")
-    )
-    for i, t in enumerate(phrase[1:], 1):
-        nxt = tok.filter(F.col("term") == t).select(
-            "doc_id", (F.col("pos") - i).alias("p")
-        )
-        ph = ph.join(nxt, ["doc_id", "p"], "inner")
-    pf = ph.groupBy("doc_id").agg(F.count("*").alias("pf"))
+    def _pf(toks: "F.Column") -> "F.Column":
+        # start positions i (1-based) with toks[i+j] == phrase[j] for all
+        # j; i ranges over [1, dl-1] like the oracle's range(1, len(toks))
+        def match(i):
+            cond = F.element_at(toks, i) == F.lit(phrase[0])
+            for j, t in enumerate(phrase[1:], 1):
+                cond = cond & (
+                    F.element_at(toks, i + F.lit(j)) == F.lit(t)
+                )
+            return cond
 
-    idf_expr = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        return F.when(
+            F.size(toks) >= 2,
+            F.size(F.filter(F.sequence(F.lit(1), F.size(toks) - 1), match)),
+        ).otherwise(0)
+
+    feats = _bm25_features(
+        docs, all_terms, extra={"pf": _pf(F.col("_toks"))}
     )
-    phw = (
-        dft.filter(F.col("term").isin(phrase))
-        .crossJoin(F.broadcast(stats))
-        .agg(F.sum(idf_expr).alias("w"))
-    )
-    qdf = spark.createDataFrame([(t,) for t in sorted(set(literals))], ["term"])
-    lit_contrib = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                idf_expr
-                * (F.col("tf") * (K1 + 1.0))
-                / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl"))))
-            ).alias("c"),
-        )
-    )
-    ph_contrib = (
-        pf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(phw))
-        .select(
-            "doc_id",
-            (
-                F.col("w")
-                * (F.col("pf") * (K1 + 1.0))
-                / (F.col("pf") + K1 * (1.0 - B + B * (F.col("dl") / F.col("avgdl"))))
-            ).alias("c"),
-        )
+    idx = {t: i for i, t in enumerate(all_terms)}
+    stats = _bm25_stats_row(feats, len(all_terms))
+    # phrase weight: Σ idf over phrase terms PRESENT in the corpus (the
+    # oracle's dft-join drops absent terms)
+    phw = None
+    for t in sorted(set(phrase)):
+        w = F.when(
+            F.col(f"df_{idx[t]}") > 0, _idf_col(F.col(f"df_{idx[t]}"))
+        ).otherwise(0.0)
+        phw = w if phw is None else phw + w
+    lit_c = None
+    for t in sorted(set(literals)):
+        c = F.when(
+            F.col(f"tf_{idx[t]}") > 0,
+            _idf_col(F.col(f"df_{idx[t]}")) * _tf_norm(F.col(f"tf_{idx[t]}")),
+        ).otherwise(0.0)
+        lit_c = c if lit_c is None else lit_c + c
+    ph_c = F.when(F.col("pf") > 0, phw * _tf_norm(F.col("pf"))).otherwise(0.0)
+    matched = sum(
+        [(F.col(f"tf_{idx[t]}") > 0).cast("int") for t in sorted(set(literals))],
+        (F.col("pf") > 0).cast("int"),
     )
     return (
-        lit_contrib.unionByName(ph_contrib)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 4).alias("score"))
+        feats.crossJoin(F.broadcast(stats))
+        .filter(matched > 0)
+        .select("doc_id", F.round(lit_c + ph_c, 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_K)
     )
@@ -863,7 +897,7 @@ def ft_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.bm25 import BM25Engine
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     page1 = eng.topk(" ".join(BM25_QUERY_TERMS), BM25_K).collect()
     last = page1[-1]
     page2 = eng.topk(
@@ -1075,7 +1109,7 @@ def ft_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     text = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") == MLT_DOC)
@@ -1157,7 +1191,7 @@ def ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     matches = eng.match_ids(" ".join(BM25_QUERY_TERMS))
     stats = read_doc_stats(spark, index_dir).select(
         F.col("doc_id").alias("engine_doc_id"),
@@ -1220,7 +1254,7 @@ def ft_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     matches = eng.match_ids(" ".join(BM25_QUERY_TERMS))
     stats = read_doc_stats(spark, index_dir).select(
         F.col("doc_id").alias("engine_doc_id"),
@@ -3289,7 +3323,7 @@ def ft_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.suggest import term_suggest
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     out = term_suggest(eng, SUGGEST_TEXT, size=5, max_edits=2,
                        prefix_length=1, min_word_length=4,
                        suggest_mode="missing", sort="score")
@@ -3320,7 +3354,7 @@ def ft_suggest_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.suggest import completion_suggest
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     return completion_suggest(eng, "s", size=5)
 
 
@@ -3413,7 +3447,7 @@ def ft_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.search_body import filtered_topk
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     attrs = _attrs_engine_keyed(spark, sf_dir, index_dir)
     out = filtered_topk(
         eng, " ".join(BM25_QUERY_TERMS), attrs,
@@ -3444,7 +3478,7 @@ def ft_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.search_body import sorted_topk
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     attrs = _attrs_engine_keyed(spark, sf_dir, index_dir)
     out = sorted_topk(
         eng, " ".join(BM25_QUERY_TERMS), attrs,
@@ -3672,8 +3706,8 @@ def _mm_engines(spark: SparkSession, sf_dir: str):
     text_dir = _ensure_docs_index(spark, sf_dir)
     title_dir = _ensure_title_index(spark, sf_dir)
     return text_dir, {
-        "text": (BM25Engine(spark, text_dir, cache=True), 1.0),
-        "title": (BM25Engine(spark, title_dir, cache=True), MM_TITLE_BOOST),
+        "text": (BM25Engine(spark, text_dir, cache=False), 1.0),
+        "title": (BM25Engine(spark, title_dir, cache=False), MM_TITLE_BOOST),
     }
 
 
@@ -3783,7 +3817,7 @@ def ft_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.bm25 import BM25Engine
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     out = eng.topk(
         f"{SYN_LIT} {SYN_GROUP[0]}", BM25_K, min_should_match=2,
         synonyms={SYN_GROUP[0]: SYN_GROUP[1:]},
@@ -3889,7 +3923,7 @@ def ft_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.search_body import rescore_topk
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     out = rescore_topk(
         eng, " ".join(BM25_QUERY_TERMS),
         '"' + " ".join(PHRASE_TERMS) + '"',
@@ -4033,7 +4067,7 @@ def ft_bm25_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_prep_opensearch_spark.operators.bm25 import BM25Engine
 
     index_dir = _ensure_docs_index(spark, sf_dir)
-    eng = BM25Engine(spark, index_dir, cache=True)
+    eng = BM25Engine(spark, index_dir, cache=False)
     out = eng.topk(f"{WILD_LIT} /{WILD_RE}/ b?g", BM25_K,
                    min_should_match=2)
     return _engine_topk_to_external(out, spark, index_dir)
