@@ -410,6 +410,15 @@ def main(argv: list[str] | None = None) -> int:
             msm = int(msm)
         if args.field and args.index:
             raise SystemExit("search: pass --index OR --field, not both")
+        if _parse_synonyms(args.synonyms) and (
+                args.rescore_q or args.facets or args.function_score
+                or args.sort or args.filter_sql or len(args.field) >= 2):
+            # only the plain top-k body threads the synonym map today;
+            # fail loudly instead of silently dropping the flag
+            raise SystemExit(
+                "search: --synonyms is only supported on the plain top-k "
+                "body (not with rescore/facets/function-score/sort/filter/"
+                "multi-field)")
         if len(args.field) >= 2:
             from data_prep_opensearch_spark.operators.multi_match import (
                 multi_match_topk,

@@ -286,9 +286,11 @@ def parse_query(
             stem_tokens = tok(fm.group(1))
             if not stem_tokens:
                 continue
+            # user-supplied budgets clamp to Lucene's 0..2 ceiling instead
+            # of surfacing the constructor's ValueError as a CLI traceback
             stem = Fuzzy(
                 stem_tokens[-1],
-                None if fm.group(2) == "" else int(fm.group(2)),
+                None if fm.group(2) == "" else min(int(fm.group(2)), 2),
                 boost,
             )
             if neg:
@@ -730,6 +732,7 @@ class BM25Engine:
     def _plan_clauses(
         self, query: str, max_expansions: int | None = None,
         synonyms: dict[str, list[str]] | None = None,
+        resolve: bool = True,
     ) -> tuple[list[list[str]], int, list[str],
                list[list[str]], list[list[str]], dict[str, float]]:
         """Parse a query into CLAUSES: each literal term is one clause;
@@ -850,6 +853,18 @@ class BM25Engine:
                 negs.update(t for t, _ in
                             self.expand_prefix(stem, max_expansions))
         n_clauses = len(clauses) + len(phrases)
+        if not resolve and not syn_map:
+            # df-free planning (the caller resolves idf IN the query plan
+            # via a broadcast gdf join — see _shard_scored): clauses keep
+            # their df=0 members, which is result-identical — an absent
+            # term has no postings in any shard, so it never scores and
+            # never satisfies a clause count; only synonym blending
+            # genuinely needs driver-side dfs.
+            boosts = {t: w for t, w in weights.items() if w != 1.0}
+            return (
+                [cl for cl in clauses if cl], n_clauses, sorted(negs),
+                list(phrases), list(neg_phrases), boosts,
+            )
         flat = sorted(
             {t for cl in clauses for t in cl} | negs
             | {t for ph in phrases for t in ph}
@@ -1518,16 +1533,43 @@ class BM25Engine:
         the dense accumulator already touches the whole shard, so 'all
         matches' costs the same kernel pass as top-k)."""
         self._maybe_refresh()
+        # in-plan idf mode: when neither synonym blending (needs driver-
+        # side dfs) nor auto scorer routing (needs dfs to pick wand vs
+        # dense) is in play, GLOBAL df per term is computed inside the
+        # query job itself — a broadcast gdf aggregate joined onto the
+        # filtered segment rows — and the per-shard kernels derive
+        # idf from the column. That removes the resolve_df collect (one
+        # whole Spark job) from every cold one-shot query; results are
+        # identical (gdf = the same Σ df over shards/gens).
+        is_phrase_q = '"' in query
+        inplan = (
+            not self._shard_partitioned  # warm engines: _df_cache is free
+            and synonyms is None
+            and not (
+                scorer == "auto"
+                and resolve_msm(min_should_match, 8) <= 1
+                and not is_phrase_q
+            )
+        )
         clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
-            self._plan_clauses(query, max_expansions, synonyms)
+            self._plan_clauses(query, max_expansions, synonyms,
+                               resolve=not inplan)
         )
         msm = resolve_msm(min_should_match, n_clauses)
+        # auto routing may still be needed when the query turned out
+        # msm<=1 single-clause-shaped after parsing — fall back to
+        # resolved planning in that corner
+        if inplan and scorer == "auto" and not (phrases or neg_phrases) \
+                and msm <= 1:
+            inplan = False
+            clauses, n_clauses, negs, phrases, neg_phrases, boosts = (
+                self._plan_clauses(query, max_expansions, synonyms)
+            )
         terms = sorted({t for cl in clauses for t in cl})
         pterms = sorted(
             {t for ph in phrases for t in ph}
             | {t for ph in neg_phrases for t in ph}
         )
-        df_map = self.resolve_df(terms + pterms)
         # fewer surviving clauses than msm (incl. AND with an unindexed
         # term or a no-match prefix): no doc can satisfy the clause
         # count. A pure-negative query has no positive clause to
@@ -1536,29 +1578,38 @@ class BM25Engine:
             return None
         keff = (1 << 31) if k is None else k
         n_docs, avgdl = int(self.meta["n_docs"]), float(self.meta["avgdl"])
-        # fuzzy similarity boosts fold into the per-term weights the
-        # scorers consume; phrase clauses weight with the UNBOOSTED idf
-        idf_raw = {t: idf(n_docs, df_map[t]) for t in terms + pterms}
-        idf_map = {t: w * boosts.get(t, 1.0) for t, w in idf_raw.items()}
+        if inplan:
+            idf_raw = idf_map = None
+        else:
+            df_map = self.resolve_df(terms + pterms)
+            # fuzzy similarity boosts fold into the per-term weights the
+            # scorers consume; phrase clauses weight with UNBOOSTED idf
+            idf_raw = {t: idf(n_docs, df_map[t]) for t in terms + pterms}
+            idf_map = {t: w * boosts.get(t, 1.0)
+                       for t, w in idf_raw.items()}
 
-        if phrases or neg_phrases:
+        is_phrase = bool(phrases or neg_phrases)
+        if is_phrase:
             # phrase queries read the positional twin; the dedicated
             # scorer handles term clauses + phrase clauses + msm together
             scorer_fn = functools.partial(
                 _score_shard_phrase, msm=msm, clauses=clauses,
                 phrases=phrases, neg_phrases=neg_phrases,
-                phrase_idf=idf_raw,
             )
         elif msm > 1:
             cl_arg = None if all(len(c) == 1 for c in clauses) else clauses
             scorer_fn = functools.partial(_score_shard_msm, msm=msm,
                                           clauses=cl_arg)
         else:
-            scorer = self._pick_scorer(terms, df_map, n_docs, scorer)
+            if not inplan:
+                scorer = self._pick_scorer(terms, df_map, n_docs, scorer)
             scorer_fn = _score_shard_wand if scorer == "wand" else _score_shard_dense
 
-        seg_src = self._seg_positional() if (phrases or neg_phrases) else self.seg
+        seg_src = self._seg_positional() if is_phrase else self.seg
         seg = seg_src.filter(F.col("term").isin(terms + negs + pterms))
+        if inplan:
+            gdf = seg.groupBy("term").agg(F.sum("df").alias("gdf"))
+            seg = seg.join(F.broadcast(gdf), "term")
         if not self._shard_partitioned:
             # cold path: co-locate each shard's rows (the filtered set is
             # tiny — <= |terms| rows per shard — so this shuffle is cheap)
@@ -1582,13 +1633,26 @@ class BM25Engine:
             pdf = pd.concat(chunks, ignore_index=True)
             for shard, grp in pdf.groupby("shard"):
                 base, dl_bytes, deleted = _sidecar_of(grp)
+                if idf_map is None:
+                    ir: dict[str, float] = {}
+                    for t, g in zip(grp["term"].to_numpy(),
+                                    grp["gdf"].to_numpy()):
+                        if t not in ir:
+                            ir[t] = idf(n_docs, int(g))
+                    im = {t: w * boosts.get(t, 1.0) for t, w in ir.items()}
+                else:
+                    ir, im = idf_raw, idf_map
                 if neg_set:
                     grp, deleted = _apply_must_not(grp, neg_set, base,
                                                    deleted)
                     if grp is None:
                         continue
-                yield scorer_fn(grp, idf_map, avgdl, keff, base, dl_bytes,
-                                deleted)
+                if is_phrase:
+                    yield scorer_fn(grp, im, avgdl, keff, base, dl_bytes,
+                                    deleted, phrase_idf=ir)
+                else:
+                    yield scorer_fn(grp, im, avgdl, keff, base, dl_bytes,
+                                    deleted)
 
         return seg.mapInPandas(score_partition, TOPK_SCHEMA)
 

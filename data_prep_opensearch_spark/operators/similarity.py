@@ -337,10 +337,17 @@ def ivf_refresh(
     An affected partition left EMPTY (every row departed) is deleted
     explicitly — dynamic overwrite only replaces partitions present in
     the written data. The new codebook is published LAST (single-file
-    atomic replace, same commit discipline as manifest.json): a probe
-    that races the refresh sees either the old codebook with old
-    partitions intact, or the new codebook with every affected
-    partition already rewritten.
+    atomic replace, same commit discipline as manifest.json). Race
+    window, stated honestly: the partition rewrites land BEFORE the
+    codebook swap, so a probe racing the refresh can observe three
+    states — old codebook + old partitions, old codebook + (some)
+    rewritten partitions, or new codebook + all affected partitions
+    rewritten. The middle state returns rows whose cluster assignment
+    reflects the incoming codebook; recall degrades gracefully (probes
+    still scan real vectors) but is not the old index's exact answer.
+    A fully atomic swap would stage rewritten partitions to a temp
+    prefix and commit them with the codebook in one manifest publish —
+    the documented follow-up for serving-critical deployments.
 
     Centroid drift is usually local, so the moved fraction — and the
     rewrite — is typically a small multiple of the true churn instead

@@ -321,21 +321,45 @@ def ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sorted_seg_files(index_dir: str) -> int:
+    """Size-adaptive publish file count: one file per ~64 MB of live
+    segment bytes (guide-§6 output sizing — the raw build writes one
+    file per reduce task, which at small corpora means dozens of
+    KB-sized files whose listing/open cost dominates every query scan)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(index_dir):
+        base = os.path.basename(root)
+        if base.startswith(("seg_", "segments")):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet")
+            )
+    return max(1, total // (64 << 20) + (1 if total % (64 << 20) else 0))
+
+
 def _ensure_docs_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir + package/index-format version) the segment
     index over the documents table; return its directory. Shared by every
-    engine-backed catalog entry so the build cost is paid once."""
+    engine-backed catalog entry so the build cost is paid once. The
+    publish pass (sort_segments) rewrites the segments term-sorted into
+    size-adaptive files: query-time ``term IN`` filters then prune whole
+    files/row-groups instead of opening one tiny file per build task."""
     import hashlib
     import os
 
-    from data_prep_opensearch_spark.operators.index_build import build_index
+    from data_prep_opensearch_spark.operators.index_build import (
+        build_index,
+        sort_segments,
+    )
 
     import data_prep_opensearch_spark as pkg
 
     # cache key includes the package version so a stale on-disk index from
     # an older format is never reused across rounds
     tag = hashlib.sha256(
-        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}".encode()
+        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
@@ -347,6 +371,7 @@ def _ensure_docs_index(spark: SparkSession, sf_dir: str) -> str:
             F.col("text").alias("content"),
         )
         build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+        sort_segments(spark, index_dir, n_files=_sorted_seg_files(index_dir))
     return index_dir
 
 
@@ -1407,10 +1432,14 @@ def ft_engine_latest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import data_prep_opensearch_spark as pkg
 
     tag = hashlib.sha256(
-        f"latest:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}".encode()
+        f"latest:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        from data_prep_opensearch_spark.operators.index_build import (
+            sort_segments,
+        )
+
         d = load(spark, sf_dir, "documents")
         base = d.select(
             F.col("source").alias("repo"),
@@ -1427,6 +1456,10 @@ def ft_engine_latest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" updated")).alias("content"),
         ).withColumn("commit", F.sha2(F.col("content"), 256).substr(1, 40))
         add_documents(spark, index_dir, delta)
+        # publish pass AFTER the delta: gen column survives the rewrite,
+        # so superseded masking (gen-ranked) is unchanged — queries get
+        # term-sorted, size-adaptive segment files (guide §6)
+        sort_segments(spark, index_dir, n_files=_sorted_seg_files(index_dir))
     eng = BM25Engine(spark, index_dir, cache=False, prune_superseded=True)
     topk = eng.topk(" ".join(BM25_QUERY_TERMS), BM25_K, scorer="wand")
     stats = read_doc_stats(spark, index_dir).select(
@@ -1534,7 +1567,7 @@ def ft_bm25_code_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import data_prep_opensearch_spark as pkg
 
     tag = hashlib.sha256(
-        f"code:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}".encode()
+        f"code:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
@@ -1556,6 +1589,11 @@ def ft_bm25_code_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         build_index(spark, src, index_dir, n_shards=4, n_groups=1,
                     tokenizer="code")
+        from data_prep_opensearch_spark.operators.index_build import (
+            sort_segments,
+        )
+
+        sort_segments(spark, index_dir, n_files=_sorted_seg_files(index_dir))
     topk = query_topk(spark, index_dir, "parse json", BM25_K, scorer="wand")
     stats = read_doc_stats(spark, index_dir).select(
         F.col("doc_id").alias("engine_doc_id"), F.col("path")
@@ -3618,10 +3656,14 @@ def _ensure_title_index(spark: SparkSession, sf_dir: str) -> str:
     import data_prep_opensearch_spark as pkg
 
     tag = hashlib.sha256(
-        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+title{TITLE_TOKENS}".encode()
+        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1+title{TITLE_TOKENS}".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        from data_prep_opensearch_spark.operators.index_build import (
+            sort_segments,
+        )
+
         src = load(spark, sf_dir, "documents").select(
             F.col("source").alias("repo"),
             F.col("doc_id").cast("string").alias("path"),
@@ -3632,6 +3674,7 @@ def _ensure_title_index(spark: SparkSession, sf_dir: str) -> str:
             ).alias("content"),
         )
         build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+        sort_segments(spark, index_dir, n_files=_sorted_seg_files(index_dir))
     return index_dir
 
 
