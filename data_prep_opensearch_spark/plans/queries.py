@@ -4114,3 +4114,55 @@ def ft_bm25_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = eng.topk(f"{WILD_LIT} /{WILD_RE}/ b?g", BM25_K,
                    min_should_match=2)
     return _engine_topk_to_external(out, spark, index_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver's correctness gate checks REGISTRY order
+# [0:50], so the first 50 slots carry the newest / least-proven entries —
+# the round-5 serving surface (suggest, search bodies, function_score,
+# significant_terms, multi_match, synonyms, rescore, date_histogram,
+# wildcard) plus everything the round-6 optimization touched. Rotated-out
+# veterans (simple per-row maps and aggregates, untouched since round 2-3)
+# keep their pytest coverage and their green rows from CORRECTNESS_r02-r05.
+# ---------------------------------------------------------------------------
+
+_SERVING_R5 = [
+    # the 12 round-5 serving operators (VERDICT r5 "next round" #2) — all
+    # also touched by the round-6 cache/in-plan changes
+    "ft_suggest_term", "ft_suggest_complete", "ft_search_filtered",
+    "ft_search_sorted", "ft_function_score", "ft_significant_terms",
+    "ft_multi_match", "ft_multi_match_most", "ft_bm25_synonyms",
+    "ft_bm25_rescore", "rel_date_histogram", "ft_bm25_wildcard_topk",
+]
+
+_ROTATED_OUT = [
+    # long-stable per-row maps/aggregates, untouched since rounds 2-3:
+    # green driver rows in CORRECTNESS_r02-r05 + pytest coverage stand
+    "ft_token_counts", "ft_quality", "ft_langid", "ft_fingerprints",
+    "emb_norms", "emb_centroids", "rel_pricing_summary", "rel_events_daily",
+    "rel_carry_forward", "rel_removed_users", "rel_top2_events_per_user",
+    "ft_canonical_urls",
+]
+
+
+def _reorder_registry() -> None:
+    serving = set(_SERVING_R5)
+    rotated = set(_ROTATED_OUT)
+    ordered = {
+        n: s for n, s in REGISTRY.items()
+        if n not in serving and n not in rotated
+    }
+    head = list(ordered)[: 50 - len(_SERVING_R5)]
+    final: dict[str, QuerySpec] = {n: REGISTRY[n] for n in head}
+    for n in _SERVING_R5:
+        final[n] = REGISTRY[n]
+    for n in ordered:
+        if n not in final:
+            final[n] = REGISTRY[n]
+    for n in _ROTATED_OUT:
+        final[n] = REGISTRY[n]
+    REGISTRY.clear()
+    REGISTRY.update(final)
+
+
+_reorder_registry()
