@@ -38,7 +38,7 @@ def _job_count(spark) -> int:
     """Monotone job counter (DAGScheduler.nextJobId) — job-count deltas
     per query attribute wall time to scheduling overhead vs compute."""
     try:
-        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get())
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
     except Exception:
         return -1
 

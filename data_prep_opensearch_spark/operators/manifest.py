@@ -180,6 +180,11 @@ def read_doclens(spark: SparkSession, index_dir: str) -> DataFrame:
         return spark.read.parquet(os.path.join(index_dir, "doclens"))
     if not m["doclens"]:
         raise FileNotFoundError(f"no live doclens in {index_dir}/{MANIFEST}")
+    if len(m["doclens"]) == 1:
+        # single live dir (fresh build / post-merge steady state): no
+        # override ranking to compute — skip the window's shuffle, which
+        # costs every query an extra exchange round
+        return spark.read.parquet(_abs(index_dir, m["doclens"][0]))
     parts = [
         spark.read.parquet(_abs(index_dir, p)).withColumn("_ord", F.lit(i))
         for i, p in enumerate(m["doclens"])

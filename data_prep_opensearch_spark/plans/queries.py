@@ -359,7 +359,7 @@ def _ensure_docs_index(spark: SparkSession, sf_dir: str) -> str:
     # cache key includes the package version so a stale on-disk index from
     # an older format is never reused across rounds
     tag = hashlib.sha256(
-        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1".encode()
+        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub2".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
@@ -370,7 +370,7 @@ def _ensure_docs_index(spark: SparkSession, sf_dir: str) -> str:
             F.col("lang").alias("lang"),
             F.col("text").alias("content"),
         )
-        build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+        build_index(spark, src, index_dir, n_shards=4, n_groups=1)
         sort_segments(spark, index_dir, n_files=_sorted_seg_files(index_dir))
     return index_dir
 
@@ -1432,7 +1432,7 @@ def ft_engine_latest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import data_prep_opensearch_spark as pkg
 
     tag = hashlib.sha256(
-        f"latest:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1".encode()
+        f"latest:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub2".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
@@ -1567,7 +1567,7 @@ def ft_bm25_code_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import data_prep_opensearch_spark as pkg
 
     tag = hashlib.sha256(
-        f"code:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1".encode()
+        f"code:{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub2".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
@@ -3656,7 +3656,7 @@ def _ensure_title_index(spark: SparkSession, sf_dir: str) -> str:
     import data_prep_opensearch_spark as pkg
 
     tag = hashlib.sha256(
-        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub1+title{TITLE_TOKENS}".encode()
+        f"{sf_dir}@{pkg.__version__}+fmt{pkg.INDEX_FORMAT_VERSION}+pub2+title{TITLE_TOKENS}".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/dposs_idx_{tag}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
@@ -3673,7 +3673,7 @@ def _ensure_title_index(spark: SparkSession, sf_dir: str) -> str:
                 F.slice(_tokens(F.col("text")), 1, TITLE_TOKENS), " "
             ).alias("content"),
         )
-        build_index(spark, src, index_dir, n_shards=4, n_groups=2)
+        build_index(spark, src, index_dir, n_shards=4, n_groups=1)
         sort_segments(spark, index_dir, n_files=_sorted_seg_files(index_dir))
     return index_dir
 
